@@ -1,0 +1,54 @@
+"""Central query registry — the bridge to the driver contract.
+
+Every operator module registers its queries with the :func:`query`
+decorator; ``__spark_entry__.queries()`` / ``oracle_sql()`` read the two
+dicts assembled here. Keys are the stable SURVEY.md §2 identifiers
+(``q_agg_pricing_summary``, ``q_join_asof``, ...).
+
+A query registered *without* oracle SQL gets the driver's weaker
+rows-only check (reserved for genuinely non-SQL-expressible operators:
+LSH, ALS, streaming).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Modules whose import populates the registry. Extended as milestones land.
+_QUERY_MODULES = (
+    "recommendersystems_bigdata_spark.operators.aggregates",
+)
+
+_loaded = False
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``key``; optionally attach its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key {key!r}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module once, populating QUERIES/ORACLES."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
