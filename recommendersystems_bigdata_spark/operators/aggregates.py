@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.catalog import load_table, load_tables, register_views
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -55,4 +55,276 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2 — exact distinct aggregation (planned as expand + two-phase agg)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3 — HyperLogLog++ approximate distinct (rows-only: sketches are
+    engine-specific). At 100 TB this replaces the expand-based exact
+    distinct with a fixed-size sketch mergeable map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_a,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_r,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4 — filtered/conditional aggregation (manual pivot via sum-case)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def rev_if(flag: str):
+        return F.round(F.sum(F.when(F.col("l_returnflag") == flag, rev).otherwise(0.0)), 2)
+
+    return li.groupBy("l_linestatus").agg(
+        rev_if("A").alias("rev_a"),
+        rev_if("N").alias("rev_n"),
+        rev_if("R").alias("rev_r"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("long").alias("n_bulk"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) > 50
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d5 — post-aggregation filter (HAVING)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .filter(F.col("n_customers") > 50)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6 — hierarchical totals: region → nation → grand total."""
+    customer, nation, region = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id("r_name", "n_name").cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, day,
+           CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             value
+      FROM events
+    )
+    GROUP BY CUBE(event_type, day)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7 — cube over event_type × day: all four grouping combinations."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ev.cube("event_type", "day").agg(
+        F.grouping_id("event_type", "day").cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8 — explicit grouping sets, spelled in Spark SQL over a temp view."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d9 — statistical aggregates (rounded: accumulation order differs
+    between engines at the ulp level)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10 — exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear interpolation on (n-1)*q)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d11 — set aggregation; sorted for order-insensitive hashing
+    (hash hygiene rule 2: never emit raw collect_list/set order)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT c_nationkey, top_customer, top_acctbal, bottom_customer, bottom_acctbal
+    FROM (
+      SELECT c_nationkey,
+             first(c_name) OVER w_top AS top_customer,
+             first(c_acctbal) OVER w_top AS top_acctbal,
+             first(c_name) OVER w_bot AS bottom_customer,
+             first(c_acctbal) OVER w_bot AS bottom_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+      WINDOW w_top AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_name DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             w_bot AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_name ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12 — argmax/argmin per group via ordered-struct max/min.
+
+    `max(struct(acctbal, name))` gives a deterministic argmax (ties on
+    acctbal broken by name) — the distributed-safe spelling of max_by.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max(F.struct("c_acctbal", "c_name")).getField("c_name").alias("top_customer"),
+        F.max(F.struct("c_acctbal", "c_name")).getField("c_acctbal").alias("top_acctbal"),
+        F.min(F.struct("c_acctbal", "c_name")).getField("c_name").alias("bottom_customer"),
+        F.min(F.struct("c_acctbal", "c_name")).getField("c_acctbal").alias("bottom_acctbal"),
     )

@@ -1,0 +1,383 @@
+"""Join operators (SURVEY.md §2.C).
+
+Scale stance: dimension tables (region/nation, and at test scale customer/
+part/supplier) sit far below the broadcast threshold, so star joins plan as
+BroadcastHashJoin chains with zero fact-side shuffles; the planner does this
+automatically and q_join_broadcast pins it with explicit hints. Fact-fact
+joins (self co-occurrence, event pairs) shuffle on their equi keys — the
+partitioning a 1000-executor cluster co-locates on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table, load_tables
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c1 — inner equi join; planner picks broadcast vs sort-merge by size."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+_STAR_ORACLE = """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
+@query("q_join_star_multiway", oracle=_STAR_ORACLE)
+def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c2 — 5-way star join, revenue per region × nation.
+
+    Catalyst broadcast-joins each dim onto the lineitem stream; the only
+    shuffle is the final 2-key aggregation.
+    """
+    li, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("q_join_broadcast", oracle=_STAR_ORACLE)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c7 — same star join with *explicit* broadcast hints on every dim.
+
+    Same result as c2 (the hint is physical-only); at 100 TB the hints
+    guarantee the dims never shuffle even if size stats are stale.
+    """
+    li, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c3 — left outer join preserving order-less customers (n_orders = 0)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS entity_key,
+           (c.c_custkey IS NOT NULL) AS has_customer_row,
+           (o.o_custkey IS NOT NULL) AS has_orders
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c4 — full outer join: nulls materialize on both sides."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    rich = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    buyers = orders.select("o_custkey").distinct()
+    return rich.join(buyers, rich.c_custkey == buyers.o_custkey, "full").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("entity_key"),
+        F.col("c_custkey").isNotNull().alias("has_customer_row"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c5 — left semi join: customers with ≥1 order, no right columns."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c6 — left anti join: customers with zero orders."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT a.event_type AS first_type,
+           count(*) AS n_pairs,
+           round(avg(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) / 1000000, 2) AS avg_gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    GROUP BY a.event_type
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c8 — equi + range θ-join: same-user event pairs within one hour.
+
+    The equi conjunct (user_id) keeps this a hash/sort-merge join — the range
+    predicate is applied post-match, so no nested-loop blowup at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    gap_us = F.unix_micros(F.col("b.ts").cast("timestamp")) - F.unix_micros(
+        F.col("a.ts").cast("timestamp")
+    )
+    return pair.groupBy(F.col("a.event_type").alias("first_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(gap_us) / 1000000, 2).alias("avg_gap_sec"),
+    )
+
+
+@query(
+    "q_join_cross_topn",
+    oracle="""
+    WITH grid AS (
+      SELECT r_regionkey, r_name, p.o_orderpriority
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    actual AS (
+      SELECT n_regionkey AS rk, o_orderpriority, count(*) AS n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, o_orderpriority
+    )
+    SELECT g.r_name, g.o_orderpriority,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders
+    FROM grid g LEFT JOIN actual a
+      ON g.r_regionkey = a.rk AND g.o_orderpriority = a.o_orderpriority
+    """,
+)
+def q_join_cross_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c9 — bounded cross join: full region × priority grid with zero-fill.
+
+    Cross join is safe precisely because both sides are tiny dims (5 × 5);
+    the counts come from a separate star-join aggregate that never crosses.
+    """
+    orders, customer, nation, region = load_tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    grid = region.select("r_regionkey", "r_name").crossJoin(
+        orders.select("o_orderpriority").distinct()
+    )
+    actual = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("rk"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(
+        actual,
+        (grid.r_regionkey == actual.rk) & (grid.o_orderpriority == actual.o_orderpriority),
+        "left",
+    ).select(
+        grid.r_name,
+        grid.o_orderpriority,
+        F.coalesce(actual.n, F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH latest_order AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate, o.o_totalprice AS asof_totalprice
+    FROM events e
+    JOIN latest_order o
+      ON e.user_id = o.o_custkey AND o.rn = 1 AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c10 — as-of join: each event paired with the customer's latest order
+    at or before the event time.
+
+    Spark has no native ASOF; the scalable pattern is a window `row_number`
+    over the right side keyed by the join key, then an equi join — one
+    shuffle per side on the key, no range explosion. Ties on o_orderdate are
+    broken by o_orderkey DESC for determinism. (All orders predate all
+    events in this corpus, so rn=1 can be hoisted before the join; the
+    general form filters rn=1 *after* the as-of inequality.)
+    """
+    events, orders = load_tables(spark, sf_dir, "events", "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return events.join(
+        latest,
+        (events.user_id == latest.o_custkey) & (latest.o_orderdate <= events.ts),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@query(
+    "q_join_self_cooccur",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders_together
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    """,
+)
+def q_join_self_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c11 — self join: item-item co-occurrence within an order.
+
+    Shuffles both aliases on l_orderkey (co-located pair generation), then
+    re-aggregates on the pair key — the canonical item-based CF prep.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_acctbal >= (SELECT quantile_cont(c_acctbal, 0.9) FROM customer)
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c12 — IN-subquery (Catalyst rewrites to a left-semi join)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    threshold = customer.agg(F.percentile("c_acctbal", 0.9).alias("thr"))
+    top = customer.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") >= F.col("thr")
+    ).select("c_custkey")
+    return orders.join(
+        top, orders.o_custkey == top.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_subquery_scalar_corr",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    JOIN (SELECT c_nationkey, avg(c_acctbal) AS nation_avg
+          FROM customer GROUP BY c_nationkey) n
+      ON c.c_nationkey = n.c_nationkey
+    WHERE c.c_acctbal > n.nation_avg
+    """,
+)
+def q_subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c13 — correlated scalar subquery, hand-decorrelated to agg + join.
+
+    The decorrelated form is exactly what Catalyst's RewriteCorrelatedScalarSubquery
+    produces; writing it directly keeps one aggregation pass over customer.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), customer.c_nationkey == nation_avg.nk)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )

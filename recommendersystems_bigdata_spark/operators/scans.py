@@ -1,0 +1,126 @@
+"""Scan / source / sink operators (SURVEY.md §2.A).
+
+Sources are plain parquet relations so Catalyst gets pushdown + pruning for
+free; sinks demonstrate the partitioned-write layout a 100 TB deployment
+relies on for partition pruning (write once, prune every read).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from recommendersystems_bigdata_spark.catalog import TABLES, load_table, register_views
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query("q_scan_parquet", oracle="SELECT * FROM lineitem")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a1 — full parquet scan, schema carried by footers (no inference)."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_schema",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def q_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2 — schema-on-read: project one column per physical type.
+
+    The projection reaches the scan (ReadSchema lists exactly these four
+    columns), so a 100 TB customer table reads 4 of its columns, not all.
+    """
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_COUNT_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n FROM {t}" for t in TABLES
+)
+
+
+@query("q_scan_count_all", oracle=_COUNT_ORACLE)
+def q_scan_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a3 — row counts of all ten corpus tables, unioned.
+
+    Parquet count() is served from footer row-group metadata — no data read.
+    """
+    dfs = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(t).alias("table_name"), "n")
+        for t in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@query(
+    "q_sql_entry",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a6 — temp-view registration + ``spark.sql`` entry point."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query("q_io_csv_json_roundtrip")
+def q_io_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a4 — CSV and JSON ingestion via a temp-dir round trip (rows-only check).
+
+    Writes ``nation`` to csv (header) and json, reads both back, and returns
+    a per-format checksum row — proving both readers parse types correctly.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="rsbd_io_")
+    nation.write.mode("overwrite").option("header", True).csv(f"{base}/nation_csv")
+    nation.write.mode("overwrite").json(f"{base}/nation_json")
+    csv_df = spark.read.option("header", True).option("inferSchema", True).csv(f"{base}/nation_csv")
+    json_df = spark.read.json(f"{base}/nation_json")
+
+    def checksum(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.sum("n_regionkey").cast("long").alias("region_sum"),
+        ).select("format", "n", "key_sum", "region_sum")
+
+    return checksum(csv_df, "csv").unionByName(checksum(json_df, "json"))
+
+
+@query("q_sink_partitioned")
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a5 — partitioned parquet sink + partition-pruned read-back (rows-only).
+
+    Writes ``events`` partitioned by ``event_type``; the read-back filter on
+    the partition column prunes directories (PartitionFilters in the plan) —
+    the layout that makes 100 TB event scans cheap.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="rsbd_sink_")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(f"{base}/events_part")
+    back = spark.read.parquet(f"{base}/events_part")
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -24,7 +24,12 @@ ORACLES: dict[str, str] = {}
 
 # Modules whose import populates the registry. Extended as milestones land.
 _QUERY_MODULES = (
+    "recommendersystems_bigdata_spark.operators.scans",
+    "recommendersystems_bigdata_spark.operators.filters",
+    "recommendersystems_bigdata_spark.operators.joins",
     "recommendersystems_bigdata_spark.operators.aggregates",
+    "recommendersystems_bigdata_spark.operators.sorts",
+    "recommendersystems_bigdata_spark.operators.setops",
 )
 
 _loaded = False
