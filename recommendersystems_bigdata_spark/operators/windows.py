@@ -1,0 +1,238 @@
+"""Window-function operators (SURVEY.md §2.E).
+
+Every window here partitions by a key before ordering, so the sort is
+per-partition (local after one hash shuffle) — never a global sort. The
+global-window cases (ntile, percent_rank within type) are explicitly
+bounded dims at any scale factor. All orderings are made total with a
+unique key so rank/limit ties are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_win_rownum_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e1 — top-3 orders per customer; the grouped-top-k pattern.
+
+    At scale this is the *only* safe per-group top-k: one shuffle on the
+    partition key, per-partition sort, early filter — no global sort, no
+    collect. Ties broken by o_orderkey for determinism.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(rank()       OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    """,
+)
+def q_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e2 — rank vs dense_rank within brand (tie values share ranks,
+    which is deterministic even without a tie-break key)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e3 — acctbal quartiles. The ORDER BY is total (custkey tie-break),
+    so bucket assignment is engine-independent. Global window: acceptable
+    only because it's a per-entity ranking over a bounded dim."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e4 — per-user previous/next event value and delta (analytic offsets)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spent
+    FROM orders
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e5 — cumulative revenue per customer in order-date order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spent"),
+    )
+
+
+@query(
+    "q_win_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day_num,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             round(sum(value), 2) AS day_value,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day, day_value, n_events,
+           round(avg(day_value) OVER (ORDER BY day_num
+                                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS avg7
+    FROM daily
+    """,
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e6 — 7-day moving average of daily event value.
+
+    Two-level: daily tumbling aggregate first (shrinks 100 TB of events to
+    one row per day), then a RANGE frame over epoch-day — the window runs
+    over the *aggregated* relation, which is the only scalable order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy(F.unix_date(F.col("ts").cast("date")).cast("long").alias("day_num"), "day")
+        .agg(
+            F.round(F.sum("value"), 2).alias("day_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_value",
+        "n_events",
+        F.round(F.avg("day_value").over(w), 2).alias("avg7"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           first_value(CAST(ts AS TIMESTAMP)) OVER w AS first_ts,
+           last_value(CAST(ts AS TIMESTAMP))  OVER w AS last_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e7 — first and latest event per user over the full partition frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.first("ts").over(w).alias("first_ts"),
+            F.last("ts").over(w).alias("last_ts"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_win_percent_cume",
+    oracle="""
+    SELECT p_type, p_partkey, p_retailprice,
+           percent_rank() OVER w AS price_pct_rank,
+           cume_dist()    OVER w AS price_cume_dist
+    FROM part
+    WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice ASC)
+    """,
+)
+def q_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e8 — relative price position within part type (both formulas are
+    rank-based, so tie rows get identical values on both engines)."""
+    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").asc())
+    return load_table(spark, sf_dir, "part").select(
+        "p_type",
+        "p_partkey",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )

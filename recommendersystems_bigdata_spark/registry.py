@@ -30,6 +30,8 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.operators.aggregates",
     "recommendersystems_bigdata_spark.operators.sorts",
     "recommendersystems_bigdata_spark.operators.setops",
+    "recommendersystems_bigdata_spark.operators.windows",
+    "recommendersystems_bigdata_spark.functions.scalars",
 )
 
 _loaded = False
