@@ -1,0 +1,199 @@
+"""Time-windowed event operators, batch form (SURVEY.md §2.I).
+
+These run the exact logic the streaming module applies with watermarks —
+Spark's `window`/`session_window` functions work identically over batch
+DataFrames, which is what makes them oracle-checkable. The tumbling and
+sliding shapes aggregate immediately (shuffle carries per-window partials);
+sessionization shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_tumble_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i1 — tumbling 1-day windows × event_type.
+
+    `window(ts, '1 day').start` is epoch-aligned, so it equals
+    date_trunc('day') — which is the oracle spelling.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "q_slide_window",
+    oracle="""
+    SELECT w_start, event_type, count(*) AS n_events
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) - to_hours(t.k) AS TIMESTAMP) AS w_start,
+             event_type
+      FROM events CROSS JOIN unnest([0, 1, 2, 3, 4, 5]) AS t(k)
+    )
+    GROUP BY w_start, event_type
+    """,
+)
+def q_slide_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2 — 6-hour windows sliding hourly: each event lands in 6 windows.
+
+    The oracle enumerates the same 6 hop starts per event explicitly.
+    Spark's window() does the expansion JVM-side before the aggregate, so
+    the shuffle again carries per-(window, type) partials, not raw rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                                  OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS span_sec
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
+
+
+@query("q_gaps_islands", oracle=_SESSION_ORACLE)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i8 — sessionization via gaps-and-islands window functions.
+
+    lag → gap flag → running sum = session id. Identical output contract
+    to q_session_window (its oracle twin); one user_id shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(order_w).cast("timestamp")
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(order_w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(run_w).cast("long"))
+    span_us = F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(
+        F.min("ts").cast("timestamp")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (span_us / 1_000_000).alias("span_sec"),
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH s AS (
+""" + _SESSION_ORACLE.replace("SELECT user_id, session_id,", "SELECT user_id,") + """
+    )
+    SELECT user_id, session_start, n_events, span_sec FROM s
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3 — native session windows: per-user sessions with a 30-minute gap.
+
+    `session_window(ts, '30 minutes')` ends a session at last_ts + gap, so
+    span = end − start − 30 min — matching the gaps-and-islands oracle's
+    max(ts) − min(ts). (session_id is internal to the oracle CTE; the
+    output contract is keyed by user_id + session_start.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span_us = (
+        F.unix_micros(F.col("w.end").cast("timestamp"))
+        - F.unix_micros(F.col("w.start").cast("timestamp"))
+        - 1_800_000_000
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        (span_us / 1_000_000).alias("span_sec"),
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i4 (batch twin) — keep-first dedup on (user_id, event_type).
+
+    dropDuplicates keeps an *arbitrary* row — nondeterministic under
+    distribution — so the engine's dedup is the deterministic
+    row_number()=1 form. The streaming variant (tests/test_streaming.py)
+    uses withWatermark + dropDuplicates where arrival order defines
+    'first'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

@@ -31,7 +31,9 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.operators.sorts",
     "recommendersystems_bigdata_spark.operators.setops",
     "recommendersystems_bigdata_spark.operators.windows",
+    "recommendersystems_bigdata_spark.operators.timeops",
     "recommendersystems_bigdata_spark.functions.scalars",
+    "recommendersystems_bigdata_spark.streaming.stream_queries",
 )
 
 _loaded = False

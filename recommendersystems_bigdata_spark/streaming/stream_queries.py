@@ -1,0 +1,166 @@
+"""Structured Streaming operators (SURVEY.md §2.I i5–i7).
+
+Each operator is a real `readStream → transform → writeStream` pipeline run
+to completion with an availableNow trigger into a memory sink, so it can be
+registered as a (rows-only) driver query AND exercised incrementally in
+pytest. The stream source is the corpus events parquet itself.
+
+Scale design: watermarks bound state (late rows beyond 1 day are dropped at
+the state store, so state size tracks the watermark horizon, not history);
+the stateful count keeps one small row per user key; stream–static joins
+broadcast the static dim per micro-batch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.registry import query
+
+# Schema of the converted events table (ts already µs-truncated to NTZ —
+# streaming reads go through the same nanosAsLong + cast path as batch).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw ns until the cast below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, one file = one micro-batch unit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a stream into a memory sink with availableNow; return the result."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="rsbd_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@query("q_stream_watermark_tumble")
+def q_stream_watermark_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i5 — watermarked tumbling aggregate over the event stream.
+
+    1-day watermark + 1-day windows in append mode: a window emits only
+    once the watermark passes its end, and state for closed windows is
+    evicted — bounded state at any volume. Rows-only check (the streaming
+    runtime, not the arithmetic, is what's under test; the arithmetic twin
+    is q_tumble_window).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+    )
+    return run_to_memory(agg, "append")
+
+
+@query("q_stream_static_join")
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i6 — stream–static join: enrich the event stream with the customer
+    dim (static side re-read per micro-batch, broadcast under threshold)."""
+    ev = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    joined = ev.join(customer, ev.user_id == customer.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")
+
+
+_STATE_SCHEMA = StructType([StructField("n", LongType()), StructField("total_us", LongType())])
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+@query("q_stream_stateful_count")
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i7 — custom stateful operator: running per-user event count via
+    applyInPandasWithState. State is one (count, last_ts) pair per user —
+    constant per key, mergeable across micro-batches, RocksDB-backable.
+
+    The stateful fn is a *nested* def: cloudpickle then serializes it by
+    value, so Spark's Python workers never need this package importable on
+    their sys.path (they only import pandas). A module-level fn would be
+    pickled by reference and break under any driver whose workers lack the
+    repo on PYTHONPATH.
+    """
+
+    def count_events(key, pdf_iter, state):
+        import pandas as pd  # noqa: shadowing for by-value pickling
+
+        if state.exists:
+            (n, last_us) = state.get
+        else:
+            n, last_us = 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)  # ns → µs
+                last_us = max(last_us, batch_max_us)
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, "update")

@@ -1,0 +1,121 @@
+"""Structured Streaming semantics (SURVEY.md §5): watermark late-data drop,
+stream–static join parity with batch, stateful accumulation across batches.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.streaming.stream_queries import (
+    q_stream_static_join,
+    q_stream_stateful_count,
+    q_stream_watermark_tumble,
+    run_to_memory,
+)
+
+
+def test_stream_tumble_matches_batch(spark, sf_dir):
+    """availableNow processing of the full file must equal the batch window agg
+    for windows the watermark has closed (all but the last open one)."""
+    stream_res = q_stream_watermark_tumble(spark, sf_dir).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    assert len(stream_res) > 0
+    merged = stream_res.merge(batch, on=["w_start", "event_type"], suffixes=("_s", "_b"))
+    # every window the stream emitted must match the batch count exactly
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    stream_res = q_stream_static_join(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    m = stream_res.merge(batch, on="c_mktsegment", suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+
+
+def test_stream_stateful_count_matches_batch(spark, sf_dir):
+    stream_res = q_stream_stateful_count(spark, sf_dir).toPandas()
+    # update mode may emit several rows per key (one per batch); the final
+    # (max) count per user must equal the batch groupBy count
+    final = stream_res.groupby("user_id")["n_events"].max()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    assert final.sort_index().equals(batch.sort_index().astype(final.dtype))
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two-batch file stream: batch 2 contains a row 3 days older than the
+    watermark — the aggregate must not emit a window for it."""
+    base = tempfile.mkdtemp(prefix="rsbd_late_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    cols = ["event_id", "ts", "user_id", "value"]
+
+    from datetime import datetime
+
+    def mk(rows):
+        rows = [(i, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), u, v) for i, t, u, v in rows]
+        return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+
+    batch1 = mk([(1, "2024-01-10 12:00:00", 1, 1.0), (2, "2024-01-10 13:00:00", 1, 1.0)])
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    import uuid
+
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one fresh row (advances watermark past Jan 10) + one late row from Jan 7
+        mk([(3, "2024-01-12 12:00:00", 1, 1.0), (4, "2024-01-07 00:30:00", 1, 1.0)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: advance watermark again so the Jan-12 window can close
+        mk([(5, "2024-01-14 12:00:00", 1, 1.0)]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).toPandas()
+    starts = set(out["w_start"].astype(str))
+    # Jan 10 window emitted with both rows; the late Jan 7 row never appears
+    assert any(s.startswith("2024-01-10") for s in starts), starts
+    assert not any(s.startswith("2024-01-07") for s in starts), starts
+    assert out.loc[out["w_start"].astype(str).str.startswith("2024-01-10"), "n"].iloc[0] == 2
+    shutil.rmtree(base, ignore_errors=True)
