@@ -1,0 +1,254 @@
+"""Deduplication operators over the document corpus (SURVEY.md §2.K k11–k13
+plus the SimHash / n-gram / embedding near-dup mandates).
+
+Scale design notes:
+- Exact dedup is a hash-groupBy on md5(text) — the shuffle carries 16-byte
+  hashes, not documents.
+- SimHash is computed entirely with higher-order array functions (no
+  per-token explosion, no UDF): one 60-bit signature per document in a
+  single codegen'd projection. At 100 TB you band the signature (e.g. 4×15
+  bits) and bucket-join, exactly like MinHash.
+- Jaccard self-joins block on (lang, token): the equi conjunct keeps them
+  hash-partitioned; the token posting-list join is the textbook
+  inverted-index pattern.
+- MinHashLSH is the approximate scale path; its recall is measured against
+  the exact Jaccard twin in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.ml.vectors import cosine, sql_cosine
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k11 — exact dedup: md5 content groups with keep-min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+# 60-bit token hash: first 15 hex chars of md5, identically computable in
+# Spark (conv) and DuckDB (0x-prefix cast) — the portability trick that
+# makes SimHash SQL-oracle-checkable.
+_SPARK_H60 = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h60
+      FROM tok WHERE t <> ''
+    ),
+    bits AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN (h60 >> CAST(b.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (60-bit, md5-derived token hashes).
+
+    Computed without exploding tokens: per row, aggregate the token array
+    into a 60-long sign vector (±1 votes per bit), then fold the signs into
+    one long. Pure whole-stage-codegen — the 100 TB plan is a map-only
+    projection followed by a signature groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sign_vec = (
+        "aggregate("
+        "  array_distinct(filter(split(text, ' '), t -> t <> '')),"
+        "  array_repeat(0L, 60),"
+        f" (acc, t) -> zip_with(acc, transform(sequence(0, 59),"
+        f"     i -> IF((shiftright({_SPARK_H60}, i) & 1) = 1, 1L, -1L)),"
+        "     (a, b) -> a + b)"
+        ")"
+    )
+    fold_bits = (
+        f"aggregate(zip_with({sign_vec}, sequence(0, 59),"
+        " (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+    return docs.select("doc_id", F.expr(fold_bits).alias("simhash"))
+
+
+_JACCARD_ORACLE_TEMPLATE = """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({tokens_expr}) AS t
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= {threshold}
+"""
+
+
+def _jaccard_pairs(docs: DataFrame, tokens_col, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard machinery: explode → posting-list self-join →
+    |A∩B| / (|A|+|B|−|A∩B|), blocked on lang."""
+    tok = docs.select("doc_id", "lang", F.explode(tokens_col).alias("t"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "q_jaccard_shingles",
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(
+        tokens_expr="list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))",
+        threshold=0.5,
+    ),
+)
+def q_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k13 — exact token-set Jaccard near-dup pairs (≥ 0.5), lang-blocked.
+
+    This is the exact twin that MinHashLSH (q_dedup_minhash_lsh) is
+    recall-tested against.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    return _jaccard_pairs(docs, tokens, 0.5)
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(
+        tokens_expr=(
+            "list_distinct([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))])"
+            .replace("l[", "(list_filter(string_split(text, ' '), t -> t <> ''))[")
+            .replace("len(l)", "len(list_filter(string_split(text, ' '), t -> t <> ''))")
+        ),
+        threshold=0.3,
+    ),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (bigram) Jaccard near-dup pairs (≥ 0.3), lang-blocked.
+
+    Word bigrams are order-sensitive, so this catches doc pairs that share
+    phrasing, not just vocabulary — the standard shingle upgrade over k13.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        )
+    )
+    return _jaccard_pairs(docs.filter(F.size(words) >= 2), bigrams, 0.3)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.3), label-blocked.
+
+    Label blocking stands in for the LSH/IVF bucketing a 100 TB corpus
+    would use (q_ann_lsh is that scale path); within a block the exact
+    pairwise cosine is a hash-partitioned self-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@query("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k12 — MinHashLSH near-dup candidates (rows-only: LSH is seeded but
+    model-internal hash coefficients make cross-engine hashing moot).
+
+    shingle → binary token vector (CountVectorizer) → MinHash signatures →
+    banded bucket join (approxSimilarityJoin). The O(n·bands) candidate
+    generation is what replaces k13's O(n²)-per-block exact join at scale.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True).fit(tokens)
+    feats = cv.transform(tokens)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(feats)
+    pairs = mh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+    )

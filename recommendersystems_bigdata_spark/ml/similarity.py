@@ -1,0 +1,131 @@
+"""Similarity search over the embedding column (SURVEY.md §2.K k9/k10/k18).
+
+Brute-force exact cosine top-k is the correctness baseline; the LSH-bucketed
+approximate join is the 100 TB path (candidates per query scale with bucket
+occupancy, not corpus size). Recall of the approximate path against the
+exact one is asserted in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.ml.vectors import cosine, sql_cosine
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {sql_cosine('q.embedding', 'e.embedding')} AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k9 — exact brute-force cosine top-5 for the first 20 query vectors.
+
+    The query side is tiny so Catalyst broadcasts it: the cross join is a
+    map-side nested loop over the corpus — one scan, no shuffle of the
+    corpus. Per-query top-k via window row_number, ties by neighbor_id.
+    At 100 TB, the same plan holds for any bounded query batch; unbounded
+    all-pairs goes through q_ann_lsh instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(queries)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rn")
+    )
+
+
+@query("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k10 — approximate nearest neighbors via BucketedRandomProjectionLSH
+    (rows-only: bucket boundaries are model-internal).
+
+    Random-hyperplane buckets turn the all-pairs problem into per-bucket
+    joins — the standard Spark ANN scale path. Euclidean distance on
+    unnormalized vectors here; cosine recall vs q_cosine_topk is measured
+    in tests/test_ml.py on L2-normalized copies.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    ).fit(emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    pairs = lsh.approxSimilarityJoin(queries, emb, 10.0, distCol="l2_dist")
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "q_embedding_centroid",
+    oracle="""
+    WITH exploded AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m
+      FROM exploded GROUP BY label, pos
+    )
+    SELECT label,
+           list(round(m, 6) ORDER BY pos) AS centroid,
+           CAST((SELECT count(*) FROM embeddings e WHERE e.label = means.label) AS BIGINT) AS n_vectors
+    FROM means
+    GROUP BY label
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k18 — per-label embedding centroid via posexplode → positional avg →
+    ordered re-collect. The shuffle carries (label, pos) partial sums —
+    64 doubles per label per partition, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    means = exploded.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m"),
+        F.countDistinct("vec_id").alias("n_vec"),
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s.m, 6)
+        ).alias("centroid"),
+        F.max("n_vec").cast("long").alias("n_vectors"),
+    )

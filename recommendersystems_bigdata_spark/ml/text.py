@@ -1,0 +1,288 @@
+"""Text-analysis operators over the document corpus (SURVEY.md §2.K
+k14–k16 plus the language-ID / quality-scoring / fingerprint mandates).
+
+Everything SQL-oracle-checkable is built from split/explode + aggregates —
+the exploded token relation collapses immediately into (token, …) partials,
+so the shuffles stay proportional to vocabulary, not corpus size. The only
+non-oracle entry is the hashing-based MLlib pipeline (k16), whose feature
+indices are hash-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.registry import query
+
+def _tokens():
+    # built lazily: Column construction needs an active SparkContext
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SQL_STOP_LIST = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    counts AS (
+      SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t
+    ),
+    top AS (
+      SELECT lang, t AS top_token FROM (
+        SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY n DESC, t ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(avg(len({_SQL_TOKENS})), 2) AS avg_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT s.lang, n_docs, avg_chars, avg_tokens, top_token
+    FROM stats s JOIN top USING (lang)
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k14 — per-language corpus stats + most frequent token."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(_tokens())), 2).alias("avg_tokens"),
+    )
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("t").asc())
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("t").alias("top_token"))
+    )
+    return stats.join(top, "lang")
+
+
+@query(
+    "q_tfidf_topterm",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
+    FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k15 — exact TF-IDF, DataFrame-native: per-doc top term.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style). Two aggregates
+    (tf per doc-term, df per term) + a broadcast of the tiny df/N side —
+    no hashing, so fully oracle-checkable, unlike HashingTF (k16).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct({_SQL_TOKENS})) AS t FROM documents
+    ),
+    profile AS (
+      SELECT lang AS profile_lang, t FROM (
+        SELECT lang, t, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, t ASC) AS rn
+        FROM tok GROUP BY lang, t
+      ) WHERE rn <= 15
+    ),
+    overlap AS (
+      SELECT tok.doc_id, profile.profile_lang, count(*) AS n_hits
+      FROM tok JOIN profile ON tok.t = profile.t
+      GROUP BY tok.doc_id, profile.profile_lang
+    ),
+    best AS (
+      SELECT doc_id, profile_lang AS predicted_lang, CAST(n_hits AS BIGINT) AS n_hits FROM (
+        SELECT doc_id, profile_lang, n_hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, profile_lang ASC) AS rn
+        FROM overlap
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang AS actual_lang, b.predicted_lang, b.n_hits
+    FROM documents d JOIN best b ON d.doc_id = b.doc_id
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by token-profile overlap.
+
+    Profiles = top-15 distinct-doc tokens per language (built from the
+    corpus itself — a deterministic, oracle-checkable stand-in for
+    n-gram LM scoring); prediction = argmax profile overlap. The profile
+    table is tiny (5 langs × 15 tokens) → broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.array_distinct(_tokens())).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("t").asc())
+    profile = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select(F.col("lang").alias("profile_lang"), "t")
+    )
+    overlap = (
+        tok.join(F.broadcast(profile), "t")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("profile_lang").asc())
+    best = (
+        overlap.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("profile_lang").alias("predicted_lang"), F.col("n_hits").cast("long"))
+    )
+    return docs.select("doc_id", F.col("lang").alias("actual_lang")).join(best, "doc_id")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len({_SQL_TOKENS}), 4) AS avg_token_len,
+           round(CAST(len(list_filter({_SQL_TOKENS}, t -> list_contains({_SQL_STOP_LIST}, t))) AS DOUBLE)
+                 / len({_SQL_TOKENS}), 4) AS stopword_ratio,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_unique_tokens,
+           round(CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / len({_SQL_TOKENS}), 4)
+             AS type_token_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document: length, token stats, stopword
+    ratio, type-token ratio — the standard pre-training filter features."""
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(_tokens())
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(_tokens(), lambda t: F.array_contains(stop, t))).cast("double") / n_tok,
+            4,
+        ).alias("stopword_ratio"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(_tokens())).cast("double") / n_tok, 4).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fingerprint,
+           count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')))
+             AS n_same_fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct-token set — an
+    order-insensitive content hash (catches shuffled/duplicated docs that
+    exact text-hash dedup misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_same_fingerprint", F.count(F.lit(1)).over(w))
+    )
+
+
+@query("q_tfidf_mllib")
+def q_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k16 — MLlib feature pipeline: Tokenizer → StopWordsRemover → NGram →
+    HashingTF → IDF (rows-only: feature indices are hash-defined).
+
+    Returns per-doc vector summaries (nnz, top index) so the result is a
+    stable relation even though the 2^18 hash space is engine-internal.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, NGram, StopWordsRemover, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            StopWordsRemover(inputCol="tokens", outputCol="clean"),
+            NGram(n=2, inputCol="clean", outputCol="bigrams"),
+            HashingTF(inputCol="bigrams", outputCol="tf", numFeatures=1 << 18),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    model = pipe.fit(docs)
+    out = model.transform(docs)
+
+    # VectorUDT can't cross the Arrow boundary (mapInPandas rejects UDTs);
+    # a row-at-a-time UDF handles the sparse vector directly. Off the hot
+    # path by design — this query is a feature-pipeline check, not a bench.
+    from pyspark.sql.types import LongType
+
+    def nnz_of(v):
+        return int(v.numNonzeros())
+
+    def top_idx_of(v):
+        return int(v.indices[int(v.values.argmax())]) if v.numNonzeros() else -1
+
+    nnz_udf = F.udf(nnz_of, LongType())
+    top_udf = F.udf(top_idx_of, LongType())
+    return out.select(
+        "doc_id", nnz_udf("tfidf").alias("nnz"), top_udf("tfidf").alias("top_feature_idx")
+    )

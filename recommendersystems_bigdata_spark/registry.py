@@ -34,6 +34,10 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.operators.timeops",
     "recommendersystems_bigdata_spark.functions.scalars",
     "recommendersystems_bigdata_spark.streaming.stream_queries",
+    "recommendersystems_bigdata_spark.ml.dedup",
+    "recommendersystems_bigdata_spark.ml.similarity",
+    "recommendersystems_bigdata_spark.ml.text",
+    "recommendersystems_bigdata_spark.ml.multimodal",
 )
 
 _loaded = False
