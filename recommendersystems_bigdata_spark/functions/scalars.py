@@ -231,20 +231,28 @@ def q_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            CAST(len(embedding) AS BIGINT) AS dim,
-           embedding[1] AS first_val,
-           list_slice(embedding, 1, 4) AS first4,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           list_transform(list_slice(embedding, 1, 4),
+                          x -> round(CAST(x AS DOUBLE), 6)) AS first4,
            (len(embedding) = 64) AS is_64d
     FROM embeddings
     """,
 )
 def q_arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """h8 — array basics on the embedding column: size, index, slice."""
+    """h8 — array basics on the embedding column: size, index, slice.
+
+    Slice elements rounded to 6dp double on both sides: raw float32
+    pass-through hashes differently depending on the engine's
+    float32→float64 widening (hygiene rule 3 applied to arrays).
+    """
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 4).alias("first4"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)).alias(
+            "first4"
+        ),
         (F.size("embedding") == 64).alias("is_64d"),
     )
 

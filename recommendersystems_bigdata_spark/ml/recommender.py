@@ -1,0 +1,449 @@
+"""Recommender-system operators (SURVEY.md §2.K k1–k8) — the reference
+project's core domain, re-expressed Spark-first.
+
+The interaction matrix is a DataFrame (user, item, strength); everything
+downstream — popularity, item-item co-occurrence, splits, evaluation — is
+joins + aggregates + windows, so the whole pipeline is oracle-checkable
+except ALS itself (iterative MLlib, seeded, gated on metrics in tests).
+
+Scale: interactions aggregate (user, item) partials map-side; co-occurrence
+shuffles on the order key (bounded items/order ⇒ bounded pair fan-out);
+ranking metrics join per-user top-k against truth — every shape is the one
+a 1000-executor cluster partitions cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_tables
+from recommendersystems_bigdata_spark.registry import query
+
+_INTERACTIONS_SQL = """
+    SELECT o_custkey AS user_id, l_partkey AS item_id,
+           round(sum(l_quantity), 2) AS strength,
+           count(*) AS n_interactions
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey, l_partkey
+"""
+
+
+def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, strength) implicit-feedback matrix from orders⋈lineitem."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("strength"),
+            F.count(F.lit(1)).alias("n_interactions"),
+        )
+    )
+
+
+@query("q_interactions", oracle=_INTERACTIONS_SQL)
+def q_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k1 — the interaction-matrix feature build (ALS's input)."""
+    return interactions(spark, sf_dir)
+
+
+@query(
+    "q_popularity_topk",
+    oracle="""
+    SELECT item_id, n_buyers, total_qty, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT l_partkey AS item_id,
+             count(DISTINCT o_custkey) AS n_buyers,
+             round(sum(l_quantity), 2) AS total_qty,
+             row_number() OVER (ORDER BY count(DISTINCT o_custkey) DESC, l_partkey ASC) AS rn
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY l_partkey
+    ) WHERE rn <= 20
+    """,
+)
+def q_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k2 — popularity baseline: top-20 items by distinct buyers."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    pop = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    w = Window.orderBy(F.col("n_buyers").desc(), F.col("item_id").asc())
+    return (
+        pop.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("item_id", "n_buyers", "total_qty", "rank")
+    )
+
+
+@query(
+    "q_cooccurrence_sim",
+    oracle="""
+    WITH item_orders AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_counts AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS co
+      FROM item_orders a JOIN item_orders b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    item_counts AS (
+      SELECT l_partkey, count(*) AS n_ord FROM item_orders GROUP BY l_partkey
+    )
+    SELECT item_a, item_b, co,
+           CAST(co AS DOUBLE) / (ia.n_ord + ib.n_ord - co) AS jaccard
+    FROM pair_counts
+    JOIN item_counts ia ON item_a = ia.l_partkey
+    JOIN item_counts ib ON item_b = ib.l_partkey
+    WHERE co >= 2
+    """,
+)
+def q_cooccurrence_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k3 — item-item Jaccard similarity from order co-occurrence (the
+    item-based CF neighborhood model, shuffled on the order key)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    item_orders = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = item_orders.alias("a"), item_orders.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("item_a"), F.col("b.l_partkey").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    counts = item_orders.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    ia = counts.select(F.col("l_partkey").alias("item_a"), F.col("n_ord").alias("na"))
+    ib = counts.select(F.col("l_partkey").alias("item_b"), F.col("n_ord").alias("nb"))
+    return (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            (F.col("co").cast("double") / (F.col("na") + F.col("nb") - F.col("co"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+_SPLIT_SQL = """
+    SELECT o_custkey AS user_id, o_orderkey, o_orderdate,
+           CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+"""
+
+
+@query("q_split_leave_latest", oracle=_SPLIT_SQL)
+def q_split_leave_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k4 — leave-latest-out split: each user's most recent order is test.
+
+    The standard temporal eval protocol; window rank, fully deterministic
+    (date ties broken by orderkey).
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return orders.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.row_number().over(w) == 1, "test").otherwise("train").alias("split"),
+    )
+
+
+@query("q_split_random")
+def q_split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k4b — seeded randomSplit 80/20 (rows-only: the sampler is
+    engine-specific). Returns per-split interaction counts."""
+    inter = interactions(spark, sf_dir)
+    train, test = inter.randomSplit([0.8, 0.2], seed=42)
+    return train.agg(
+        F.lit("train").alias("split"), F.count(F.lit(1)).alias("n")
+    ).unionByName(test.agg(F.lit("test").alias("split"), F.count(F.lit(1)).alias("n")))
+
+
+def _train_test_items(spark: SparkSession, sf_dir: str):
+    """(train interactions, per-user test truth items) from the temporal split."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    tagged = orders.withColumn("rn", F.row_number().over(w))
+    li = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    train = (
+        tagged.filter(F.col("rn") > 1)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("strength"))
+    )
+    truth = (
+        tagged.filter(F.col("rn") == 1)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    return train, truth
+
+
+@query(
+    "q_rmse",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    train AS (
+      SELECT o_custkey AS user_id, l_partkey AS item_id,
+             round(sum(l_quantity), 2) AS strength
+      FROM ranked JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE rn > 1 GROUP BY o_custkey, l_partkey
+    ),
+    test AS (
+      SELECT o_custkey AS user_id, l_partkey AS item_id,
+             round(sum(l_quantity), 2) AS strength
+      FROM ranked JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE rn = 1 GROUP BY o_custkey, l_partkey
+    ),
+    item_means AS (SELECT item_id, avg(strength) AS item_mean FROM train GROUP BY item_id),
+    global_mean AS (SELECT avg(strength) AS g FROM train)
+    SELECT round(sqrt(avg(pow(test.strength - coalesce(item_means.item_mean, g), 2))), 4) AS rmse,
+           count(*) AS n_test
+    FROM test
+    LEFT JOIN item_means USING (item_id)
+    CROSS JOIN global_mean
+    """,
+)
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k7 — RMSE of the item-mean baseline on the temporal test split.
+
+    The predictor is deterministic (train item means, global-mean
+    fallback), so the whole evaluation is SQL-oracle-checkable — the
+    pattern also used to gate ALS (tests/test_ml.py) where the model
+    itself can't be hashed.
+    """
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    li = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+
+    def split_strength(cond):
+        return (
+            ranked.filter(cond)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+            .agg(F.round(F.sum("l_quantity"), 2).alias("strength"))
+        )
+
+    train = split_strength(F.col("rn") > 1)
+    test = split_strength(F.col("rn") == 1)
+    item_means = train.groupBy("item_id").agg(F.avg("strength").alias("item_mean"))
+    global_mean = train.agg(F.avg("strength").alias("g"))
+    err = F.col("strength") - F.coalesce(F.col("item_mean"), F.col("g"))
+    return (
+        test.join(F.broadcast(item_means), "item_id", "left")
+        .crossJoin(F.broadcast(global_mean))
+        .agg(
+            F.round(F.sqrt(F.avg(F.pow(err, 2))), 4).alias("rmse"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+    )
+
+
+@query(
+    "q_ranking_metrics",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    train AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM ranked JOIN lineitem ON o_orderkey = l_orderkey WHERE rn > 1
+    ),
+    truth AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM ranked JOIN lineitem ON o_orderkey = l_orderkey WHERE rn = 1
+    ),
+    pop AS (
+      SELECT item_id, row_number() OVER (ORDER BY count(*) DESC, item_id ASC) AS pop_rank
+      FROM train GROUP BY item_id
+    ),
+    recs AS (
+      SELECT user_id, item_id, rec_rank FROM (
+        SELECT u.user_id, p.item_id,
+               row_number() OVER (PARTITION BY u.user_id ORDER BY p.pop_rank ASC) AS rec_rank
+        FROM (SELECT DISTINCT user_id FROM truth) u
+        CROSS JOIN pop p
+        WHERE NOT EXISTS (SELECT 1 FROM train t
+                          WHERE t.user_id = u.user_id AND t.item_id = p.item_id)
+          AND p.pop_rank <= 100
+      ) WHERE rec_rank <= 5
+    ),
+    hits AS (
+      SELECT r.user_id, r.rec_rank,
+             CASE WHEN t.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+      FROM recs r LEFT JOIN truth t ON r.user_id = t.user_id AND r.item_id = t.item_id
+    ),
+    hits2 AS (
+      SELECT user_id, rec_rank, hit,
+             sum(hit) OVER (PARTITION BY user_id ORDER BY rec_rank
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / rec_rank
+               AS prec_at_rank
+      FROM hits
+    ),
+    per_user AS (
+      SELECT h.user_id,
+             sum(h.hit) / 5.0 AS precision_at_5,
+             sum(h.hit) / least(tc.n_truth, 5) AS recall_at_5,
+             sum(h.hit * h.prec_at_rank) / least(tc.n_truth, 5) AS ap_at_5
+      FROM hits2 h
+      JOIN (SELECT user_id, count(*) AS n_truth FROM truth GROUP BY user_id) tc
+        ON h.user_id = tc.user_id
+      GROUP BY h.user_id, tc.n_truth
+    )
+    SELECT round(avg(precision_at_5), 6) AS precision_at_5,
+           round(avg(recall_at_5), 6) AS recall_at_5,
+           round(avg(ap_at_5), 6) AS map_at_5,
+           count(*) AS n_users
+    FROM per_user
+    """,
+)
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8 — precision@5 / recall@5 / MAP@5, DataFrame-native.
+
+    Recommender = popularity baseline filtered per user to unseen items
+    (deterministic ⇒ oracle-checkable; the same metric queries evaluate
+    ALS output in tests). MAP uses running-hit-count / rank within each
+    user's rec list — a window over an already-aggregated 5-row/user
+    relation.
+    """
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    li = lineitem.select("l_orderkey", "l_partkey")
+
+    def split_items(cond):
+        return (
+            ranked.filter(cond)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+            .distinct()
+        )
+
+    train = split_items(F.col("rn") > 1)
+    truth = split_items(F.col("rn") == 1)
+
+    pop_w = Window.orderBy(F.col("cnt").desc(), F.col("item_id").asc())
+    pop = (
+        train.groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pop_rank", F.row_number().over(pop_w))
+        .filter(F.col("pop_rank") <= 100)
+        .select("item_id", "pop_rank")
+    )
+    users = truth.select("user_id").distinct()
+    rec_w = Window.partitionBy("user_id").orderBy(F.col("pop_rank").asc())
+    recs = (
+        users.crossJoin(F.broadcast(pop))
+        .join(train, ["user_id", "item_id"], "left_anti")  # unseen items only
+        .withColumn("rec_rank", F.row_number().over(rec_w))
+        .filter(F.col("rec_rank") <= 5)
+    )
+    hits = recs.join(
+        truth.withColumn("hit_flag", F.lit(1.0)), ["user_id", "item_id"], "left"
+    ).select("user_id", "rec_rank", F.coalesce("hit_flag", F.lit(0.0)).alias("hit"))
+
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("rec_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = hits.withColumn("prec_at_rank", F.sum("hit").over(cum_w) / F.col("rec_rank"))
+    truth_counts = truth.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    per_user = (
+        hits.join(truth_counts, "user_id")
+        .groupBy("user_id", "n_truth")
+        .agg(
+            (F.sum("hit") / 5.0).alias("precision_at_5"),
+            (F.sum("hit") / F.least(F.col("n_truth"), F.lit(5))).alias("recall_at_5"),
+            (
+                F.sum(F.col("hit") * F.col("prec_at_rank"))
+                / F.least(F.col("n_truth"), F.lit(5))
+            ).alias("ap_at_5"),
+        )
+    )
+    return per_user.agg(
+        F.round(F.avg("precision_at_5"), 6).alias("precision_at_5"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+        F.round(F.avg("ap_at_5"), 6).alias("map_at_5"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+def train_als(spark: SparkSession, sf_dir: str, implicit: bool = True):
+    """k5 — seeded ALS on the interaction matrix (coldStartStrategy=drop)."""
+    from pyspark.ml.recommendation import ALS
+
+    inter = interactions(spark, sf_dir).select(
+        F.col("user_id").cast("int").alias("user"),
+        F.col("item_id").cast("int").alias("item"),
+        F.col("strength").cast("float").alias("rating"),
+    )
+    als = ALS(
+        rank=10,
+        maxIter=8,
+        regParam=0.1,
+        implicitPrefs=implicit,
+        alpha=1.0,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=42,
+    )
+    return als.fit(inter), inter
+
+
+@query("q_als_recommend")
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k5+k6 — ALS training + top-5 recommendations per user (rows-only:
+    factor initialization makes scores engine/partitioning-specific).
+
+    recommendForAllUsers is the blocked factor-product top-k — the
+    distributed path; per-user subsets use recommendForUserSubset.
+    """
+    model, _ = train_als(spark, sf_dir, implicit=True)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user_id",
+        (F.col("pos") + 1).cast("long").alias("rec_rank"),
+        F.col("rec.item").cast("long").alias("item_id"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )

