@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract + SURVEY.md §6).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q_agg_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side row transfer — the same discipline a cluster benchmark uses),
+timed twice, best-of-2 recorded so JVM/JIT warm-up doesn't dominate the
+small scale factors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from recommendersystems_bigdata_spark import registry  # noqa: E402
+from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
+
+# One per engine subsystem (BASELINE.md): scan+hash-agg, multi-way join,
+# window top-k, vector similarity, sessionization, text explode+agg,
+# recommender feature build.
+HEADLINE = (
+    "q_agg_pricing_summary",
+    "q_join_star_multiway",
+    "q_win_rownum_topk",
+    "q_cosine_topk",
+    "q_session_window",
+    "q_str_split_explode",
+    "q_interactions",
+)
+
+RUNS_PER_QUERY = 2
+
+
+def _time_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        best = min(_time_once(fn, spark, sf_dir) for _ in range(RUNS_PER_QUERY))
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
