@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.operators.windows",
     "recommendersystems_bigdata_spark.operators.timeops",
     "recommendersystems_bigdata_spark.functions.scalars",
+    "recommendersystems_bigdata_spark.functions.udfs",
     "recommendersystems_bigdata_spark.streaming.stream_queries",
     "recommendersystems_bigdata_spark.ml.dedup",
     "recommendersystems_bigdata_spark.ml.similarity",

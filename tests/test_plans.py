@@ -1,0 +1,105 @@
+"""Physical-plan assertions (SURVEY.md §4, §2 d13).
+
+Correctness tests prove the right rows come back; these prove the right
+*plan* produces them — the properties that decide whether the same query
+survives a 100 TB deployment: filters pushed into the parquet scan,
+columns pruned, small dims broadcast, aggregates split partial→final,
+top-k lowered to TakeOrderedAndProject, and the Python boundary using
+Arrow rather than per-row pickling.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recommendersystems_bigdata_spark import registry
+
+registry.load_all()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_explain(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(key):
+        return registry.QUERIES[key](spark, sf_dir)
+
+    return run
+
+
+def test_filter_pushdown_reaches_scan(q):
+    plan = full_explain(q("q_filter_compound"))
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_on_pricing_summary(q):
+    plan = full_explain(q("q_agg_pricing_summary"))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # lineitem has 16 columns; the flagship aggregate needs 7 — pruned scan
+    # must not read unrelated ones
+    assert "l_comment" not in read_schema[0]
+    assert "l_suppkey" not in read_schema[0]
+
+
+def test_partial_then_final_aggregate(q):
+    plan = physical_plan(q("q_agg_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_broadcast_join_on_dims(q):
+    plan = physical_plan(q("q_join_broadcast"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_join_strategies(q):
+    assert "LeftSemi" in physical_plan(q("q_join_semi"))
+    assert "LeftAnti" in physical_plan(q("q_join_anti"))
+
+
+def test_topk_lowered_to_take_ordered(q):
+    plan = physical_plan(q("q_topk_global"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(q):
+    df = q("q_agg_pricing_summary")
+    df.collect()  # AQE only finalizes (and codegens) the plan on execution
+    plan = physical_plan(df)
+    assert "*(" in plan, "no WholeStageCodegen stages in flagship plan"
+
+
+def test_python_udf_uses_batch_eval(q):
+    plan = physical_plan(q("q_udf_python"))
+    assert "BatchEvalPython" in plan
+
+
+def test_pandas_udf_uses_arrow_eval(q):
+    plan = physical_plan(q("q_udf_pandas_scalar"))
+    assert "ArrowEvalPython" in plan
+
+
+def test_grouped_map_uses_arrow(q):
+    plan = physical_plan(q("q_udtf_grouped_map"))
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_theta_join_keeps_equi_conjunct(q):
+    """c8 must hash-partition on the equi key — a BroadcastNestedLoopJoin
+    here would be quadratic at scale."""
+    plan = physical_plan(q("q_join_theta_range"))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_enabled(q):
+    plan = physical_plan(q("q_join_star_multiway"))
+    assert "AdaptiveSparkPlan" in plan
