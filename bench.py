@@ -39,7 +39,13 @@ HEADLINE = (
     "q_interactions",
 )
 
-RUNS_PER_QUERY = 2
+RUNS_PER_QUERY = 3
+
+# Shuffle-partition count sized for the bench scale factor: sf0.1 shuffles
+# are a few MB, so 8 partitions beat the engine's 32-way default (less task
+# scheduling, same parallelism where it matters — the parquet scan). The
+# 100 TB analogue is the same rule in reverse: partitions ∝ shuffle bytes.
+BENCH_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
 
 
 def _time_once(fn, spark, sf_dir: str) -> float:
@@ -54,7 +60,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     registry.load_all()
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", shuffle_partitions=BENCH_SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_table
-from recommendersystems_bigdata_spark.ml.vectors import cosine, sql_cosine
+from recommendersystems_bigdata_spark.ml.vectors import sql_cosine
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -36,25 +36,69 @@ from recommendersystems_bigdata_spark.registry import query
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k9 — exact brute-force cosine top-5 for the first 20 query vectors.
 
-    The query side is tiny so Catalyst broadcasts it: the cross join is a
-    map-side nested loop over the corpus — one scan, no shuffle of the
-    corpus. Per-query top-k via window row_number, ties by neighbor_id.
-    At 100 TB, the same plan holds for any bounded query batch; unbounded
-    all-pairs goes through q_ann_lsh instead.
+    Vectorized scoring: the corpus streams through mapInPandas and each
+    Arrow batch is scored against the broadcast query matrix with one BLAS
+    matmul, emitting only per-batch top-k (a combiner) — shuffle volume is
+    O(k·Q·partitions) regardless of corpus size, and the scan parallelism
+    is Spark's. The global window refines to the exact answer. At 100 TB
+    the same plan holds for any bounded query batch; unbounded all-pairs
+    goes through q_ann_lsh instead.
     """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # The query side is a bounded batch (ANN queries always are): collect it
+    # to the driver and close over it — on a cluster this ships with the
+    # serialized task exactly like a broadcast variable. The corpus side
+    # stays fully distributed: each Arrow batch is scored with one BLAS
+    # matmul (batch×64 @ 64×Q), and only the per-batch top-k survives —
+    # a combiner, so shuffle volume is O(k·Q·partitions), not O(N·Q).
+    qrows = sorted(emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect())
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    q_mat = np.array([r[1] for r in qrows], dtype="float64")
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
-    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    k = 5
+
+    def score_batches(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy("int64")
+            e_mat = np_.stack(pdf["embedding"].to_numpy()).astype("float64")
+            e_norm = np_.sqrt((e_mat**2).sum(axis=1))
+            cos = (e_mat @ q_mat.T) / (e_norm[:, None] * q_norm[None, :])
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = n_ids != qid
+                ids, vals = n_ids[mask], col[mask]
+                # per-batch top-k by (cos desc, neighbor_id asc) — any global
+                # top-k row is necessarily in its batch's top-k
+                order = np_.lexsort((ids, -vals))[: k + 1]
+                frames.append(
+                    pd_.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[order], "cos": vals[order]}
+                    )
+                )
+            yield pd_.concat(frames, ignore_index=True)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(score_batches, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        F.broadcast(queries)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rn")
     )
 
