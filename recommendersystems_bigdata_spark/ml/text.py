@@ -286,3 +286,47 @@ def q_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", nnz_udf("tfidf").alias("nnz"), top_udf("tfidf").alias("top_feature_idx")
     )
+
+
+@query(
+    "q_text_tokenize_bpeish",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                  AS BIGINT) AS bpeish_tokens
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpeish_tokens) AS BIGINT) AS total_bpeish_tokens,
+           round(avg(bpeish_tokens * 1.0 / ws_tokens), 4) AS expansion_ratio
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def q_text_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words vs a BPE-ish sub-word
+    regex (letter runs | digit runs | single punctuation), the standard
+    pre-tokenizer shape of byte-pair-encoding vocabularies.
+
+    The ratio between the two is the classic "tokens per word" expansion
+    estimate an LLM-data pipeline budgets by. Pure JVM regexps — the
+    pattern is written in the common subset of Java and RE2 syntax so the
+    DuckDB oracle tokenizes identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpeish = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    ).cast("long")
+    ws = F.size(_tokens()).cast("long")
+    per_doc = docs.select("doc_id", "lang", ws.alias("ws_tokens"), bpeish.alias("bpeish_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpeish_tokens").alias("total_bpeish_tokens"),
+        F.round(F.avg(F.col("bpeish_tokens") / F.col("ws_tokens")), 4).alias("expansion_ratio"),
+    )

@@ -381,3 +381,46 @@ def q_subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join — identical results to the plain join
+    (same oracle), different physical distribution.
+
+    The probe side tags each row with salt = crc32(key) % S; the build
+    side is exploded into S copies, one per salt value, and the join key
+    becomes (key, salt). A hot key's rows now spread over S reducers
+    instead of hammering one — the manual fallback when AQE skew-join
+    splitting can't help (e.g. a skewed build side below the split
+    threshold, or a non-AQE engine). S=8 here; at 100 TB S is sized to
+    the observed hot-key factor.
+    """
+    num_salts = 8
+    li, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    probe = li.select("l_orderkey", "l_extendedprice").withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(num_salts))
+    )
+    build = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(num_salts)]))
+    )
+    return (
+        probe.join(
+            build,
+            (probe.l_orderkey == build.o_orderkey) & (probe.salt == build.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
