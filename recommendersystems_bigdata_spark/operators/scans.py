@@ -82,12 +82,27 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_io_csv_json_roundtrip")
+@query(
+    "q_io_csv_json_roundtrip",
+    oracle="""
+    SELECT 'csv' AS format, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+    FROM nation
+    UNION ALL
+    SELECT 'json', count(*),
+           CAST(sum(n_nationkey) AS BIGINT),
+           CAST(sum(n_regionkey) AS BIGINT)
+    FROM nation
+    """,
+)
 def q_io_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """a4 — CSV and JSON ingestion via a temp-dir round trip (rows-only check).
+    """a4 — CSV and JSON ingestion via a temp-dir round trip.
 
-    Writes ``nation`` to csv (header) and json, reads both back, and returns
-    a per-format checksum row — proving both readers parse types correctly.
+    Writes ``nation`` to csv (header) and json, reads both back, and
+    returns per-format checksum rows. The oracle computes the same
+    checksums from the ORIGINAL table, so a reader that mis-parses types
+    or drops rows hash-mismatches — a real oracle check, not a smoke.
     """
     nation = load_table(spark, sf_dir, "nation")
     base = tempfile.mkdtemp(prefix="rsbd_io_")

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.ml.text",
     "recommendersystems_bigdata_spark.ml.multimodal",
     "recommendersystems_bigdata_spark.ml.recommender",
+    "recommendersystems_bigdata_spark.sources.formats",
 )
 
 _loaded = False

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_tables
+from recommendersystems_bigdata_spark.plans import count_join_side_exchanges, final_plan
 
 
 @pytest.fixture()
@@ -56,15 +57,12 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
             .agg(F.count(F.lit(1)).alias("n"))
         )
         joined.collect()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        # AQE prints "== Final Plan ==" then repeats "== Initial Plan ==";
-        # only the final plan is what actually ran
-        final_plan = plan.split("== Initial Plan ==")[0]
-        assert "SortMergeJoin" in final_plan, final_plan
-        assert "Bucketed: true" in final_plan, final_plan
+        plan = final_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
         # exactly one shuffle — the aggregation above the join; an
         # unbucketed join would add one exchange per side (3 total)
-        assert final_plan.count("Exchange hashpartitioning") <= 1, final_plan
+        assert count_join_side_exchanges(plan) <= 1, plan
 
         # and the result matches the plain (shuffled) join
         orders, li = load_tables(spark, sf_dir, "orders", "lineitem")

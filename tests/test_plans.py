@@ -13,16 +13,9 @@ from __future__ import annotations
 import pytest
 
 from recommendersystems_bigdata_spark import registry
+from recommendersystems_bigdata_spark.plans import full_explain, physical_plan
 
 registry.load_all()
-
-
-def physical_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def full_explain(df) -> str:
-    return df._jdf.queryExecution().toString()
 
 
 @pytest.fixture(scope="module")
