@@ -47,6 +47,100 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT lang, text,
+             unnest(generate_series(0, CAST(floor((length(text) - 1) / 32.0) AS INT), 4)) AS idx
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           round(avg(length(substring(text, idx * 32 + 1, 32))), 4) AS avg_frame_len,
+           round(avg(ascii(substring(text, idx * 32 + 1, 1))), 4) AS avg_first_code
+    FROM f
+    GROUP BY lang
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload: chunk into fixed 32-byte
+    frames, keep every 4th (the video-keyframe access pattern), extract a
+    per-frame feature, aggregate per group.
+
+    Entirely JVM-side — `sequence` builds the sampled frame index list and
+    `explode` fans out one row per kept frame, so frame fan-out happens
+    inside whole-stage codegen with no Python in the row path. A real
+    video table swaps `substring` for a decode UDF (`decode_media`); the
+    partitioning story is identical: fan-out is map-only, only the small
+    per-frame features reach the shuffle. (Corpus text is verified ASCII,
+    so char positions == byte positions on both engines.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frames = docs.select(
+        "lang",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / 32.0).cast("int"),
+                F.lit(4),
+            )
+        ).alias("idx"),
+    )
+    frame = F.substring(F.col("text"), F.col("idx") * 32 + 1, 32)
+    return frames.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.round(F.avg(F.length(frame)), 4).alias("avg_frame_len"),
+        F.round(F.avg(F.ascii(F.substring(F.col("text"), F.col("idx") * 32 + 1, 1))), 4).alias(
+            "avg_first_code"
+        ),
+    )
+
+
+@query(
+    "q_media_resize",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text), 8)) AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS resized_len,
+           CAST(sum(ascii(substring(text, pos, 1))) % 997 AS BIGINT) AS checksum
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: stride-8 byte subsampling of a binary
+    payload through an Arrow-batched iterator UDF (binary in → small typed
+    features out), the same batch shape an image resize kernel uses.
+
+    mapInPandas keeps the payload inside its scan partition — resize is
+    map-only; nothing but (doc_id, len, checksum) is ever shuffled. A real
+    image pipeline replaces the stride slice with PIL resize inside the
+    same iterator (`decode_media` marks the seam)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[::8])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_len": resized.map(len).astype("int64"),
+                    "checksum": resized.map(lambda b: sum(b) % 997).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(resize, "doc_id long, resized_len long, checksum long")
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode an image/audio/video payload into pixels/samples/frames.
 

@@ -137,6 +137,73 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the coarse-
+    quantizer scale path named in SURVEY.md §2.K alongside q_ann_lsh.
+
+    Plan shape (the FAISS-IVF layout re-expressed as DataFrames):
+      1. fit a seeded KMeans coarse quantizer (nlist=16 centroids);
+      2. assign every corpus vector to its centroid — a map-only transform,
+         so the inverted lists are just a `cluster` column (at 100 TB you'd
+         persist the corpus bucketed/partitioned by this column and prune
+         scanned partitions per probe);
+      3. each query probes its nprobe=6 nearest centroids (a driver-side
+         20×16 matmul — query batches are bounded, centroid tables tiny);
+      4. exact cosine re-rank over only the probed clusters' vectors —
+         candidates scale with nprobe/nlist of the corpus, not the corpus.
+
+    Rows-only check (centroids are model-internal); recall vs the exact
+    q_cosine_topk twin is asserted in tests/test_ml.py.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from recommendersystems_bigdata_spark.ml.vectors import cosine
+
+    nlist, nprobe, k = 16, 6, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    # L2-normalize before quantizing: on unit vectors Euclidean distance is
+    # monotone in cosine, so the Euclidean KMeans quantizer respects the
+    # cosine metric the re-rank uses (spherical k-means).
+    unit = F.transform(
+        "embedding", lambda x: x.cast("double") / F.sqrt(F.aggregate(
+            F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda a, b: a + b,
+        ))
+    )
+    vecs = emb.select("vec_id", "embedding", array_to_vector(unit).alias("features"))
+    km = KMeans(k=nlist, seed=42, featuresCol="features", predictionCol="cluster").fit(vecs)
+    assigned = km.transform(vecs).select("vec_id", "embedding", "cluster")
+
+    centers = np.stack([np.asarray(c, dtype="float64") for c in km.clusterCenters()])  # nlist×64
+    c_norm = np.sqrt((centers**2).sum(axis=1))
+    qrows = sorted(emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect())
+    probe_rows = []
+    for vid, e in qrows:
+        q = np.asarray(e, dtype="float64")
+        cos_c = (centers @ q) / (c_norm * np.sqrt((q**2).sum()))
+        for cl in np.argsort(-cos_c)[:nprobe]:
+            probe_rows.append((int(vid), int(cl), [float(x) for x in q]))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int, q_emb array<double>")
+
+    cands = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rn")
+    )
+
+
 @query(
     "q_embedding_centroid",
     oracle="""

@@ -111,6 +111,49 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+@query("q_stream_stream_join")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval self-join: for each event, count the same
+    user's events landing within the following hour (click→follow-up
+    attribution shape).
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    `r.ts` to [l.ts, l.ts + 1h], so each side's join state is evicted once
+    the watermark passes the interval — state is bounded by rate × horizon,
+    not by stream history. That eviction bound is the whole scale story
+    for stream joins; without the time bound state grows forever. Batch
+    twin for value-level verification: tests/test_streaming.py.
+    """
+    left = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "1 hour")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_id") != F.col("l_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    pairs = joined.select("l_id", "l_user", "r_id")
+    return run_to_memory(pairs, "append")
+
+
 _STATE_SCHEMA = StructType([StructField("n", LongType()), StructField("total_us", LongType())])
 _OUT_SCHEMA = StructType(
     [

@@ -40,6 +40,20 @@ def test_ann_lsh_recall_vs_exact_cosine(spark, sf_dir):
     assert recall >= 0.2, f"ANN recall {recall:.3f} < 0.2"
 
 
+def test_ann_ivf_recall_vs_exact_cosine(spark, sf_dir):
+    """IVF (nprobe=6 of nlist=16) must recover most exact cosine top-5
+    neighbors — same metric on both sides, so the floor is higher than the
+    LSH one. Misses can only come from a true neighbor living in an
+    unprobed cluster."""
+    exact = registry.QUERIES["q_cosine_topk"](spark, sf_dir)
+    approx = registry.QUERIES["q_ann_ivf"](spark, sf_dir)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(exact_pairs) == 100  # 20 queries × 5
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+
+
 def test_simhash_near_dup_consistency(spark, sf_dir):
     """Exact duplicates (same token set) must have identical SimHash."""
     from pyspark.sql import functions as F

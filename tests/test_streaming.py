@@ -119,3 +119,32 @@ def test_watermark_drops_late_rows(spark):
     assert not any(s.startswith("2024-01-07") for s in starts), starts
     assert out.loc[out["w_start"].astype(str).str.startswith("2024-01-10"), "n"].iloc[0] == 2
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Interval self-join pairs from the stream must equal the batch twin
+    (same-user follow-ups within 1 hour, availableNow drains everything)."""
+    from recommendersystems_bigdata_spark.streaming.stream_queries import (
+        q_stream_stream_join,
+    )
+
+    stream_pairs = {
+        (r.l_id, r.r_id) for r in q_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = ev.select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    batch = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_id") != F.col("l_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    batch_pairs = {(r.l_id, r.r_id) for r in batch.collect()}
+    assert batch_pairs, "batch twin found no pairs — interval too narrow"
+    assert stream_pairs == batch_pairs
