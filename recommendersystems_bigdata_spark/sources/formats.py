@@ -38,6 +38,55 @@ def _checksum(df: DataFrame, fmt: str) -> DataFrame:
     ).select("format", "n", "key_sum", "region_sum")
 
 
+@query(
+    "q_sink_compaction",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_fragmented,
+           CAST(2 AS BIGINT) AS n_files_compacted,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    """,
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every large ingest
+    pipeline needs (streaming/hourly jobs leave thousands of KB-sized
+    files; scan task count then tracks file count, not data size).
+
+    Fragments events into 64 files, compacts to 2 with a single
+    `repartition`, and checksums the compacted copy against the source
+    oracle — so the query fails if compaction drops/duplicates rows OR if
+    either write produces an unexpected file count (the counts are
+    literals on both sides). At 100 TB the same job runs per partition
+    directory with `repartitionByRange` on the sort key, sized so files
+    land near `maxPartitionBytes` — preserving clustering and min/max
+    pruning while collapsing the file count.
+    """
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="rsbd_compact_")
+
+    ev.repartition(64).write.mode("overwrite").parquet(f"{base}/fragmented")
+    frag = spark.read.parquet(f"{base}/fragmented")
+    n_frag = len(glob.glob(f"{base}/fragmented/part-*"))
+
+    frag.repartition(2).write.mode("overwrite").parquet(f"{base}/compacted")
+    comp = spark.read.parquet(f"{base}/compacted")
+    n_comp = len(glob.glob(f"{base}/compacted/part-*"))
+
+    return comp.agg(
+        F.lit(n_frag).cast("long").alias("n_files_fragmented"),
+        F.lit(n_comp).cast("long").alias("n_files_compacted"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
 @query("q_io_orc_text_roundtrip", oracle=_CHECKSUM_ORACLE)
 def q_io_orc_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC and line-text ingestion via temp-dir round trips.
