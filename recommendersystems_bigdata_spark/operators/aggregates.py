@@ -328,3 +328,61 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("c_acctbal", "c_name")).getField("c_name").alias("bottom_customer"),
         F.min(F.struct("c_acctbal", "c_name")).getField("c_acctbal").alias("bottom_acctbal"),
     )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "q_pivot_wide",
+    oracle="""
+    SELECT c_nationkey,
+           round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS AUTOMOBILE,
+           round(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal END), 2) AS BUILDING,
+           round(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN c_acctbal END), 2) AS FURNITURE,
+           round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN c_acctbal END), 2) AS HOUSEHOLD,
+           round(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN c_acctbal END), 2) AS MACHINERY
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14 — long→wide pivot: per-nation account balance by market segment.
+
+    The pivot values are declared explicitly, which matters twice: the
+    output schema is fixed without a distinct-values pre-pass (one job,
+    not two — at 100 TB the discovery scan is a full extra pass), and the
+    plan stays a single partial→final hash aggregate with one column per
+    declared value (no shuffle explosion; missing combos are NULL exactly
+    as the sum-CASE spelling produces)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.round(F.sum("c_acctbal"), 2))
+    )
+    return pivoted
+
+
+@query(
+    "q_unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part WHERE p_partkey <= 500
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15 — wide→long unpivot (melt): part's numeric measures as
+    (key, metric, value) rows. Unpivot is a zero-shuffle projection —
+    each input row fans out to n_measures output rows inside codegen, so
+    it scales like a scan regardless of table size."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=[F.col("p_size").cast("double").alias("p_size"), "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
