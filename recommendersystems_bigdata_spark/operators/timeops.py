@@ -197,3 +197,31 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@query("q_agg_hll_sketch_merge")
+def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pre-aggregation pattern at 100 TB:
+    build one fixed-size HLL sketch of distinct users per (day,
+    event_type) partition, then answer the coarser per-event_type
+    distinct-user question by *merging sketches* instead of rescanning
+    raw data. A nightly job materializes the per-day sketches once;
+    every later rollup (weekly, all-time, per-type) is an
+    hll_union_agg over kilobytes.
+
+    Rows-only check (sketch binaries are engine-specific); the estimate
+    is gated against the exact distinct count within HLL error bounds in
+    tests/test_plans.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.count(F.lit(1)).cast("long").alias("n_daily_sketches"),
+        )
+        .select("event_type", "approx_users", "n_daily_sketches")
+    )

@@ -96,3 +96,28 @@ def test_theta_join_keeps_equi_conjunct(q):
 def test_aqe_enabled(q):
     plan = physical_plan(q("q_join_star_multiway"))
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate per-type distinct users
+    within HLL(lgK=14) error bounds of the exact count (≲1% at these
+    cardinalities; 5% gate leaves slack)."""
+    from pyspark.sql import functions as F
+
+    from recommendersystems_bigdata_spark import registry
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["q_agg_hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
