@@ -54,6 +54,8 @@ PORTABLE_KEYS = sorted(
         "q_except",
         "q_date_parts",
         "q_math",
+        "q_pivot_wide",
+        "q_unpivot_long",
         # q_cond excluded: its oracle uses DuckDB's 1-arg numeric trunc();
         # Spark's trunc() is the 2-arg date version
         "q_interactions",
