@@ -45,9 +45,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        # Schema-aware: only the corpus's TIMESTAMP(NANOS) files surface ts
+        # as a raw bigint under nanosAsLong; an events table written with
+        # ordinary µs timestamps (e.g. one of our own sinks, or a user's
+        # table) reads as a timestamp already and needs no conversion.
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
