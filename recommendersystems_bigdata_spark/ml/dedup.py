@@ -151,6 +151,74 @@ def _jaccard_pairs(docs: DataFrame, tokens_col, threshold: float) -> DataFrame:
 
 
 @query(
+    "q_dedup_density_estimate",
+    oracle="""
+    WITH sample AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+    tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      FROM sample
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    hits AS (
+      SELECT count(*) AS n_pairs
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.5
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM sample) AS n_sampled,
+             (SELECT count(*) FROM documents) AS n_total
+    )
+    SELECT n_sampled, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / (n_sampled * (n_sampled - 1) / 2.0), 6) AS density,
+           CAST(floor(CAST(n_pairs AS DOUBLE) / (n_sampled * (n_sampled - 1) / 2.0)
+                      * (n_total * (n_total - 1) / 2.0)) AS BIGINT) AS est_pairs_full
+    FROM hits, counts
+    """,
+)
+def q_dedup_density_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight match-density estimate for threshold similarity joins —
+    the guard SCALE.md prescribes before any near-dup join at scale.
+
+    Runs the exact Jaccard pair test on a deterministic ~5% sample
+    (doc_id % 20; a production corpus would hash-mod a stable key) and
+    extrapolates the pair count to the full corpus. The measured hazard
+    it prevents: this corpus's density is ~0.74 at threshold 0.5, i.e.
+    ~3.7e9 output pairs at 100k docs — a number you want BEFORE the join
+    fills the cluster's shuffle disks. Sample cost is O((N/20)²) on token
+    posting lists, trivially parallel, independent of output density.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 20 == 0)
+    tokens = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    pairs = _jaccard_pairs(sample, tokens, 0.5)
+    density = F.col("n_pairs").cast("double") / (
+        F.col("n_sampled") * (F.col("n_sampled") - 1) / 2.0
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(sample.agg(F.count(F.lit(1)).alias("n_sampled")))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_total")))
+        .select(
+            "n_sampled",
+            "n_pairs",
+            F.round(density, 6).alias("density"),
+            F.floor(density * (F.col("n_total") * (F.col("n_total") - 1) / 2.0))
+            .cast("long")
+            .alias("est_pairs_full"),
+        )
+    )
+
+
+@query(
     "q_jaccard_shingles",
     oracle=_JACCARD_ORACLE_TEMPLATE.format(
         tokens_expr="list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))",
