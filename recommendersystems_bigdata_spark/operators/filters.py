@@ -109,3 +109,23 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b5 — seeded Bernoulli sampling (rows-only: samplers differ per engine)."""
     return load_table(spark, sf_dir, "customer").sample(fraction=0.1, seed=42)
+
+
+@query("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b5b — seeded stratified sampling: per-segment fractions via sampleBy
+    (rows-only: sampler RNG is engine-specific). The 100 TB use is class
+    rebalancing — e.g. downsample the dominant language/label before
+    training-data export — executed as a map-only filter, no shuffle."""
+    fractions = {
+        "AUTOMOBILE": 0.05,
+        "BUILDING": 0.1,
+        "FURNITURE": 0.2,
+        "HOUSEHOLD": 0.4,
+        "MACHINERY": 0.8,
+    }
+    return (
+        load_table(spark, sf_dir, "customer")
+        .sampleBy("c_mktsegment", fractions, seed=42)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
