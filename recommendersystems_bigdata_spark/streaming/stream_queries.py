@@ -154,6 +154,42 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(pairs, "append")
 
 
+@query("q_stream_foreach_batch_sink")
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink — the exactly-once delivery pattern for
+    sinks without native streaming support.
+
+    Each micro-batch lands in a directory keyed by its batchId; on
+    recovery after a failure the same batchId is re-delivered, and the
+    overwrite of that directory makes the replay idempotent (the
+    transactional-sink recipe: key every side effect on (queryId,
+    batchId)). At 100 TB this is how streams feed warehouses, JDBC, or
+    any non-idempotent store. Returns the per-batch row counts read back
+    from the sink directories — total must equal the source row count.
+    """
+    base = tempfile.mkdtemp(prefix="rsbd_febatch_")
+    agg = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # overwrite => replaying the same batch_id after a crash is a no-op
+        batch_df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
+
+    ckpt = tempfile.mkdtemp(prefix="rsbd_ckpt_")
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.option("basePath", base).parquet(f"{base}/batch_id=*")
+    return (
+        sunk.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("batch_id").cast("long"), "n_rows")
+    )
+
+
 _STATE_SCHEMA = StructType([StructField("n", LongType()), StructField("total_us", LongType())])
 _OUT_SCHEMA = StructType(
     [

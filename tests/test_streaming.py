@@ -148,3 +148,16 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     batch_pairs = {(r.l_id, r.r_id) for r in batch.collect()}
     assert batch_pairs, "batch twin found no pairs — interval too narrow"
     assert stream_pairs == batch_pairs
+
+
+def test_foreach_batch_sink_delivers_all_rows(spark, sf_dir):
+    """The idempotent foreachBatch sink must deliver exactly the source
+    rows (no loss, no duplication) across however many batches ran."""
+    from recommendersystems_bigdata_spark.streaming.stream_queries import (
+        q_stream_foreach_batch_sink,
+    )
+
+    per_batch = q_stream_foreach_batch_sink(spark, sf_dir).toPandas()
+    total = int(per_batch["n_rows"].sum())
+    src = load_table(spark, sf_dir, "events").count()
+    assert total == src, (total, src)
