@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "recommendersystems_bigdata_spark.ml.similarity",
     "recommendersystems_bigdata_spark.ml.text",
     "recommendersystems_bigdata_spark.ml.multimodal",
+    "recommendersystems_bigdata_spark.ml.pipeline",
     "recommendersystems_bigdata_spark.ml.recommender",
     "recommendersystems_bigdata_spark.sources.formats",
 )
