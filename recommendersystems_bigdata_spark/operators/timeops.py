@@ -225,3 +225,103 @@ def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "n_daily_sketches")
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    earliest strictly-ordered completion time of each stage.
+
+    Three stage aggregates, each a groupBy on user_id — one shuffle key
+    throughout, so AQE plans the chain as co-partitioned joins with no
+    re-shuffle. The standard event-analytics funnel shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.cast("long").alias("stage_reached"))
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each day-offset they return. Cohort assignment and the activity
+    dedup both shuffle on user_id only; the final (cohort, offset) rollup
+    is a partial-aggregated groupBy over already-deduped rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
