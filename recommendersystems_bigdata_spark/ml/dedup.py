@@ -320,3 +320,89 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_est"),
         )
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ts
+      FROM documents
+    ),
+    e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM tok a JOIN tok b
+        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+       AND len(list_intersect(a.ts, b.ts)) * 1.0
+           / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+      WHERE w.label < e.dst
+    )
+    SELECT doc_id, min(label) AS cluster_id,
+           doc_id = min(label) AS is_canonical
+    FROM walk GROUP BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over Jaccard≥0.9 edges
+    (candidate pairs bounded to an id window of 3 — the stand-in for LSH
+    bucket mates), canonical doc = min doc_id per component.
+
+    This is the step that turns pairwise near-dup hits into keep/drop
+    decisions. Spark side: iterative min-label propagation — each round
+    pushes every node's label to its neighbors and keeps the min, a
+    driver loop over DataFrames with `localCheckpoint` truncating lineage
+    (the GraphX/large-star pattern; rounds ~ graph diameter, and each
+    round is two shuffles on doc_id). The iteration is why this operator
+    exists: it is the one §2 entry that genuinely cannot be a single
+    declarative plan, and the DuckDB oracle (a recursive CTE computing
+    min reachable label) checks it exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    e0 = (
+        a.join(
+            b,
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 3),
+        )
+        .filter(inter * 1.0 / union >= 0.9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint()  # computed once, reused every round
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    while True:
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
