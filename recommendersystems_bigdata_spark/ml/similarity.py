@@ -240,3 +240,70 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("n_vec").cast("long").alias("n_vectors"),
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+                            v -> floor(CAST(v AS DOUBLE) / scale * 127 + 0.5)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
+           CAST(list_max(qv) AS BIGINT) AS max_q,
+           CAST(list_min(qv) AS BIGINT) AS min_q,
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                          i -> floor(abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127)
+                                     * 1000000)))
+                AS BIGINT) AS sum_err_micro
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings: per-vector absmax scale,
+    symmetric round-to-nearest (spelled floor(x+0.5) so both engines
+    round identically), plus reconstruction error in integer microunits.
+    Every emitted stat is integer-exact: per-element errors floor to
+    micro-units BEFORE summing (double summation order differs across
+    engines at the ulp; integer sums cannot) — the 4×
+    memory-compression lever that makes billion-vector ANN serving fit.
+
+    Map-only over the scan (higher-order array functions, no explode, no
+    shuffle); quantized codes would write back as array<tinyint> at 1/4
+    the bytes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_dbl = lambda v: v.cast("double")  # noqa: E731
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda v: F.abs(as_dbl(v)))).alias("scale"),
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform("embedding", lambda v: F.floor(as_dbl(v) / F.col("scale") * 127 + 0.5)),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda v, qi: F.floor(F.abs(as_dbl(v) - qi * F.col("scale") / 127) * 1000000),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e.cast("long"),
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1000000).cast("long").alias("scale_micro"),
+        F.array_max("qv").cast("long").alias("max_q"),
+        F.array_min("qv").cast("long").alias("min_q"),
+        err.alias("sum_err_micro"),
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import TABLES, load_table, register_views
 from recommendersystems_bigdata_spark.registry import query
@@ -138,4 +138,75 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "q_upsert_latest",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice, 1 AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, 0 AS version
+      FROM orders
+    ),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC)
+               AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(version AS BIGINT) AS version
+    FROM merged WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style latest-wins upsert: a derived updates batch (10% of
+    orders flipped to status 'U', version 1 — pure column swaps, no float
+    arithmetic, so the oracle agrees bit-exactly) applied over the base table —
+    union + per-key latest pick, the portable spelling of MERGE INTO /
+    CDC compaction on engines without ACID tables.
+
+    One shuffle on the merge key. At 100 TB the base side is
+    bucket-partitioned on the key so only update-touched partitions
+    rewrite (partition-overwrite sink, see a5/a8); the union+row_number
+    core here is exactly the per-partition merge job.
+    """
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(0).alias("version"),
+        )
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("version").cast("long").alias("version"),
+        )
     )

@@ -121,3 +121,30 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_pipeline_map_ops_are_shuffle_free(q):
+    """redact / chunk / repetition are pure map-side transforms: one
+    codegen'd pass over the scan, no Exchange anywhere — the property
+    that makes them free at 100 TB."""
+    for key in ("q_text_redact", "q_text_chunk", "q_text_repetition"):
+        plan = physical_plan(q(key))
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
+
+
+def test_contamination_eval_side_broadcasts(q):
+    """the eval-set gram table must broadcast; the corpus side must not
+    shuffle for the join itself (only the final per-doc aggregate may)."""
+    plan = physical_plan(q("q_contamination_check"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_docs_pack_partitions_by_shard(q):
+    """packing's cumulative sum must be windowed per language shard, not a
+    single global ordering."""
+    df = q("q_docs_pack")
+    plan = full_explain(df)
+    assert "lang" in plan
+    # a global window sort would show a SinglePartition exchange feeding Window
+    import re
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,200}Window", plan), plan
