@@ -386,3 +386,65 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+           count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide buckets) — the
+    distribution-profiling aggregate every data-quality dashboard runs.
+    Bucket assignment is map-side arithmetic; the shuffle carries one
+    partial row per (partition, bucket)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def q_agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits >2.5σ from their
+    type's mean. The per-type stats table is tiny (5 rows) → broadcast;
+    the corpus side stays map-local, so the detector is one scan + one
+    broadcast join at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
