@@ -363,23 +363,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists: it is the one §2 entry that genuinely cannot be a single
     declarative plan, and the DuckDB oracle (a recursive CTE computing
     min reachable label) checks it exactly.
+
+    The candidate-pair build deliberately avoids a range self-join: a
+    pure `b.doc_id BETWEEN a+1 AND a+3` condition has no equi conjunct,
+    so Spark plans a nested-loop O(n²) join (measured: unbounded at 100k
+    docs). Instead each doc EXPLODES its 3 candidate partner ids and the
+    join is a plain equi join on doc_id — linear, shuffle-partitioned,
+    the general banded spelling of any bounded range join.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    cand = tok.select(
+        F.col("doc_id").alias("src"),
+        F.col("ts").alias("src_ts"),
+        F.explode(F.array(*[F.col("doc_id") + k for k in (1, 2, 3)])).alias("doc_id"),
+    )
+    inter = F.size(F.array_intersect(F.col("src_ts"), F.col("ts")))
+    union = F.size(F.col("src_ts")) + F.size(F.col("ts")) - inter
     e0 = (
-        a.join(
-            b,
-            (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 3),
-        )
+        cand.join(tok, "doc_id")
         .filter(inter * 1.0 / union >= 0.9)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .select("src", F.col("doc_id").alias("dst"))
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint()  # computed once, reused every round
