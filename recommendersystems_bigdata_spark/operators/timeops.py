@@ -325,3 +325,56 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.v FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING) AS value_filled,
+           v IS NULL AS was_gap
+    FROM j
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill: per-user daily purchase totals
+    on a dense daily grid (each user's own [min_day, max_day] span), gaps
+    carried forward with `last(..., ignorenulls=True)`.
+
+    The grid explode is map-side off a tiny per-user bounds aggregate;
+    the fill is one window per user partition — everything shuffles on
+    user_id once. This is the gap-filling shape time-series stores call
+    `time_bucket_gapfill`/`locf`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
