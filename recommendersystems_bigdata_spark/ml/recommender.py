@@ -447,3 +447,82 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("long").alias("item_id"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT pa, pb FROM pairs WHERE co >= 2),
+    deg AS (
+      SELECT part, count(*) AS degree FROM (
+        SELECT pa AS part FROM e UNION ALL SELECT pb AS part FROM e
+      ) GROUP BY part
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tri_per_node AS (
+      SELECT part, count(*) AS n_triangles FROM (
+        SELECT a AS part FROM tri UNION ALL
+        SELECT b AS part FROM tri UNION ALL
+        SELECT c AS part FROM tri
+      ) GROUP BY part
+    )
+    SELECT d.part, d.degree, coalesce(t.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN tri_per_node t ON d.part = t.part
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the item co-occurrence graph: per-part degree
+    and triangle participation (triads of parts that all co-occur ≥2
+    orders pairwise) — the community-density signal item-graph
+    recommenders use, and the canonical multi-way-join scale pattern.
+
+    Edges are canonically ordered (pa < pb), so each triangle enumerates
+    exactly once via the e⋈e⋈e chain — the standard trick that keeps the
+    join output linear in triangles instead of 6× overcounted. All counts
+    integer-exact. At 100 TB the co-occurrence build dominates (fact
+    self-join per order basket); edges and triangles shuffle on part id.
+    """
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    e = pairs.filter(F.col("co") >= 2).select("pa", "pb").localCheckpoint()
+    deg = (
+        e.select(F.col("pa").alias("part"))
+        .union(e.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(e3, (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")))
+        .select(F.col("e1.pa").alias("a"), F.col("e1.pb").alias("b"), F.col("e2.pb").alias("c"))
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("part"))
+        .union(tri.select(F.col("b").alias("part")))
+        .union(tri.select(F.col("c").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(tri_per_node, "part", "left").select(
+        "part", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
