@@ -448,3 +448,90 @@ def q_agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_events_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS prob
+    FROM counts
+    """,
+)
+def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: bigram
+    (prev_type → next_type) counts and row-normalized probabilities.
+    One user_id shuffle for the lag, then a 25-row aggregate — the
+    sequence-analytics building block for next-event prediction."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    order_w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(order_w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm_w), 4).alias("prob"),
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, avg(value) AS m1 FROM events GROUP BY event_type
+    ),
+    moments AS (
+      SELECT e.event_type,
+             avg(pow(e.value - mu.m1, 2)) AS m2,
+             avg(pow(e.value - mu.m1, 3)) AS m3,
+             avg(pow(e.value - mu.m1, 4)) AS m4
+      FROM events e JOIN mu ON e.event_type = mu.event_type
+      GROUP BY e.event_type
+    )
+    SELECT event_type,
+           round(m2, 4) AS variance_pop,
+           round(m3 / pow(m2, 1.5), 4) AS skewness_pop,
+           round(m4 / pow(m2, 2) - 3, 4) AS excess_kurtosis_pop
+    FROM moments
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments per event_type: population variance,
+    skewness, excess kurtosis — spelled as explicit central moments on
+    BOTH engines because builtin skewness/kurtosis differ (Spark is
+    population-form, DuckDB sample-corrected). Two aggregation passes
+    (mean, then centered powers) with the tiny means table broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("m1"))
+    centered = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type", (F.col("value") - F.col("m1")).alias("d")
+    )
+    m = centered.groupBy("event_type").agg(
+        F.avg(F.pow("d", 2)).alias("m2"),
+        F.avg(F.pow("d", 3)).alias("m3"),
+        F.avg(F.pow("d", 4)).alias("m4"),
+    )
+    return m.select(
+        "event_type",
+        F.round("m2", 4).alias("variance_pop"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 4).alias("skewness_pop"),
+        F.round(F.col("m4") / F.pow("m2", 2) - 3, 4).alias("excess_kurtosis_pop"),
+    )
