@@ -464,7 +464,7 @@ def q_agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT prev_type, next_type, n,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS prob
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4) AS prob
     FROM counts
     """,
 )
@@ -534,4 +534,22 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m2", 4).alias("variance_pop"),
         F.round(F.col("m3") / F.pow("m2", 1.5), 4).alias("skewness_pop"),
         F.round(F.col("m4") / F.pow("m2", 2) - 3, 4).alias("excess_kurtosis_pop"),
+    )
+
+
+@query("q_agg_approx_percentile")
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of o_totalprice
+    per priority — the mergeable-quantile path that replaces d10's exact
+    percentile at 100 TB (exact needs a per-group sort; the sketch is a
+    bounded-size mergeable partial, same shape as the HLL rollup d16).
+
+    Rows-only: sketch internals are engine-specific; the ≤2% error gate
+    vs the exact d10 twin is asserted in tests/test_plans.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9], 10000)
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pcts[0], 2).alias("p50_approx"),
+        F.round(pcts[1], 2).alias("p90_approx"),
     )

@@ -148,3 +148,22 @@ def test_docs_pack_partitions_by_shard(q):
     # a global window sort would show a SinglePartition exchange feeding Window
     import re
     assert not re.search(r"Exchange SinglePartition[\s\S]{0,200}Window", plan), plan
+
+
+def test_approx_percentile_error_gate(q):
+    """q_agg_approx_percentile must land within 2% of the exact d10
+    percentiles — the accuracy contract that justifies swapping the exact
+    sort for the mergeable sketch at scale."""
+    approx = {
+        r["o_orderpriority"]: (r["p50_approx"], r["p90_approx"])
+        for r in q("q_agg_approx_percentile").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+        for r in q("q_agg_percentile").collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.02, (k, a90, e90)

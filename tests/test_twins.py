@@ -63,6 +63,13 @@ PORTABLE_KEYS = sorted(
         "q_cooccurrence_sim",
         "q_split_leave_latest",
         "q_udaf_pandas_agg",
+        "q_agg_histogram",
+        "q_agg_moments",
+        "q_events_transition",
+        "q_events_funnel",
+        "q_upsert_latest",
+        "q_agg_zscore_outliers",
+        "q_graph_triangles",
     ]
 )
 
