@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.catalog import load_table, load_tables
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -128,4 +128,88 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .sampleBy("c_mktsegment", fractions, seed=42)
         .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "q_fk_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', count(*)
+    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts along every FK edge of
+    the star schema, via left-anti joins — the data-quality gate a 100 TB
+    ingest runs before publishing a snapshot. Anti joins broadcast the
+    key side when small; counts are integer-exact."""
+    li, orders, customer, nation, supplier = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier"
+    )
+
+    def orphans(child, parent, ckey, pkey, name):
+        return (
+            child.join(parent, child[ckey] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(orphans(orders, customer, "o_custkey", "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(orphans(customer, nation, "c_nationkey", "n_nationkey", "customer.c_nationkey->nation"))
+        .unionByName(orphans(supplier, nation, "s_nationkey", "n_nationkey", "supplier.s_nationkey->nation"))
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'c_acctbal' AS col, count(*) AS n_rows,
+           CAST(count(c_acctbal) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+           round(min(c_acctbal), 2) AS min_d, round(max(c_acctbal), 2) AS max_d
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), CAST(count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           round(min(c_nationkey), 2), round(max(c_nationkey), 2)
+    FROM customer
+    UNION ALL
+    SELECT 'o_totalprice', count(*), CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (Deequ-style): row/non-null/distinct counts and
+    min/max per profiled column — one aggregate pass per table, unioned.
+    At 100 TB each profile row is a single partial-agg'd scan; distinct
+    counts would switch to the HLL path (d3/d16) beyond memory bounds."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+
+    def profile(df, col):
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).cast("long").alias("n_nonnull"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.round(F.min(col), 2).alias("min_d"),
+            F.round(F.max(col), 2).alias("max_d"),
+        ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_d", "max_d")
+
+    return (
+        profile(customer, "c_acctbal")
+        .unionByName(profile(customer, "c_nationkey"))
+        .unionByName(profile(orders, "o_totalprice"))
     )

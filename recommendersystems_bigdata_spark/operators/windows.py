@@ -236,3 +236,41 @@ def q_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("price_pct_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
     )
+
+
+@query(
+    "q_win_corr_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS v_view,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS v_buy
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(corr(v_view, v_buy) OVER (ORDER BY day
+                                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS corr_7d,
+           CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_days
+    FROM daily
+    """,
+)
+def q_win_corr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between daily view-value and
+    purchase-value series — windowed bivariate statistics, the
+    co-movement signal dashboards track. The daily pre-aggregate
+    reduces the window input to ~30 rows regardless of corpus size, so
+    the single-partition ordered window is safe at any scale (the
+    reduction shuffles, the window does not)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)), 2).alias("v_view"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias("v_buy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.corr("v_view", "v_buy").over(w), 4).alias("corr_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+    )
