@@ -210,3 +210,51 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("long").alias("version"),
         )
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH versions AS (
+      SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'U', 1 FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'X', 2 FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(version AS BIGINT) AS valid_from,
+           CAST(coalesce(lead(version) OVER (PARTITION BY o_orderkey ORDER BY version),
+                         9999) AS BIGINT) AS valid_to,
+           lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL
+             AS is_current
+    FROM versions
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: stack change versions per key, derive
+    [valid_from, valid_to) intervals with lead() and flag the current
+    row — the slowly-changing-dimension bookkeeping a warehouse keeps
+    instead of a9's latest-wins overwrite. One shuffle on the key; the
+    interval derivation is a per-key window."""
+    orders = load_table(spark, sf_dir, "orders")
+    v0 = orders.select("o_orderkey", "o_orderstatus", F.lit(0).alias("version"))
+    v1 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), F.lit(1).alias("version")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), F.lit(2).alias("version")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return (
+        v0.unionByName(v1)
+        .unionByName(v2)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("version").cast("long").alias("valid_from"),
+            F.coalesce(nxt, F.lit(9999)).cast("long").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
