@@ -274,3 +274,100 @@ def q_win_corr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("v_view", "v_buy").over(w), 4).alias("corr_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS TIMESTAMP) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_quartile
+    FROM rfm
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer with quartile scores — the standard marketing-analytics
+    segmentation. ntile runs on the per-customer aggregate (cardinality
+    = customers, not orders), ordered with the unique-key tie-break that
+    makes quartile assignment deterministic (hygiene rule e3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").cast("timestamp").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
+@query(
+    "q_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(revenue) OVER () AS total_rev
+      FROM rev
+    )
+    SELECT l_partkey, round(revenue, 4) AS revenue,
+           round(cum_rev / total_rev, 4) AS cum_share,
+           CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, cumulative
+    share thresholds 50%/80% → A/B/C classes — the inventory-analytics
+    staple. The cumulative window is ordered over the per-part aggregate
+    (20k rows at sf0.1, not 600k lineitems); at 100 TB you'd range-
+    partition the ordered window or pre-bucket by revenue decile.
+
+    revenue rounds to 4dp, not 2: the products are exact 4-decimal
+    quantities (2dp price x discount), so round-to-2 sits exactly on
+    half-cent boundaries where engines disagree; round-to-4 lands on the
+    value's own grid and is boundary-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    share = F.col("cum_rev") / F.col("total_rev")
+    return (
+        rev.withColumn("cum_rev", F.sum("revenue").over(w_cum))
+        .withColumn("total_rev", F.sum("revenue").over(w_all))
+        .select(
+            "l_partkey",
+            F.round("revenue", 4).alias("revenue"),
+            F.round(share, 4).alias("cum_share"),
+            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
+        )
+    )
