@@ -17,7 +17,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_table
 from recommendersystems_bigdata_spark.ml.vectors import cosine, sql_cosine
@@ -412,4 +412,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+                  AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), t -> t <> '')) AS ttr
+      FROM documents
+    )
+    SELECT doc_id, content_hash, round(ttr, 4) AS quality,
+           CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY content_hash
+                                   ORDER BY ttr DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-duplicate
+    group (md5 of text), keep the doc with the best type-token ratio
+    (tie: min doc_id) — the keep/drop policy step after dedup detection,
+    where a real pipeline keeps the best-quality copy rather than an
+    arbitrary one. One shuffle on the content hash; the quality score is
+    a ratio of exact integers, bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col("ttr").desc(), F.col("doc_id").asc())
+    wg = Window.partitionBy("content_hash")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wg).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", F.round("ttr", 4).alias("quality"), "group_size")
     )

@@ -526,3 +526,67 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.join(tri_per_node, "part", "left").select(
         "part", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item FROM lineitem GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT pa, pb, co,
+           round(CAST(co AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(co AS DOUBLE) / ia.n_item, 4) AS confidence,
+           round(CAST(co AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pairs
+    JOIN item ia ON pairs.pa = ia.l_partkey
+    JOIN item ib ON pairs.pb = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift for
+    part pairs co-bought in ≥2 orders — the statistics behind
+    "frequently bought together". All inputs are exact integer counts,
+    so the ratios are bit-identical across engines before rounding. The
+    per-item counts table broadcasts; the pair build is the c11
+    self-join (shuffle on orderkey, output bounded by basket width²)."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.select("l_orderkey").distinct().count()
+    item = basket.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("n_item"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")))
+    ib = F.broadcast(item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")))
+    co_d = F.col("co").cast("double")
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(co_d / n_orders, 6).alias("support"),
+            F.round(co_d / F.col("n_a"), 4).alias("confidence"),
+            F.round(co_d * n_orders / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+    )
