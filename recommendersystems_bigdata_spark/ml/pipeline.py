@@ -251,3 +251,53 @@ def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+    total AS (SELECT count(*) AS n_total FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             sum(-ln(CAST(freq.n AS DOUBLE) / total.n_total)) AS nll
+      FROM tok JOIN freq USING (t) CROSS JOIN total
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll / n_tokens, 4) AS avg_neg_log_prob
+    FROM scored
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-doc average negative log
+    probability under the corpus's own unigram distribution — the
+    perplexity-style quality filter LLM pipelines use to drop
+    gibberish (high surprise) and boilerplate (low surprise).
+
+    The vocabulary table is small (corpus-wide distinct tokens) and
+    broadcasts; the per-doc score is then map-side lookup + aggregate.
+    At 100 TB the unigram table is the only shared state — megabytes
+    for any natural-language vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(-F.log(F.col("n").cast("double") / F.col("n_total"))).alias("nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("nll") / F.col("n_tokens"), 4).alias("avg_neg_log_prob"),
+        )
+    )

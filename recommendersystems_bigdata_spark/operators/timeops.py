@@ -378,3 +378,45 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "q_events_pathing",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rn FROM paths)
+    WHERE rn <= 10
+    """,
+)
+def q_events_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event sequences across all
+    users — the flow-analysis view behind sankey funnels. One user_id
+    shuffle for the double-lead window, then a tiny (≤125 paths) global
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("path", "n", "rank")
+    )
