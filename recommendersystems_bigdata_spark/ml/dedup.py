@@ -456,3 +456,69 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_hash", F.round("ttr", 4).alias("quality"), "group_size")
     )
+
+
+# Engine-portable MinHash: k=8 universal-hash permutations over the same
+# md5-derived 60-bit token hash the SimHash operator uses. Coefficients are
+# fixed odd constants; arithmetic stays below 2^63 because operands are
+# first reduced mod p (Mersenne prime 2^31-1).
+_MINHASH_P = (1 << 31) - 1
+_MINHASH_COEF = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
+
+
+@query(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+               % {_MINHASH_P} AS h60
+      FROM tok
+    )
+    SELECT doc_id,
+           {", ".join(f"CAST(min(({a} * h60 + {b}) % {_MINHASH_P}) AS BIGINT) AS mh{i}"
+                      for i, (a, b) in enumerate(_MINHASH_COEF))},
+           md5(CAST(min((1 * h60 + 7919) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+               CAST(min((3 * h60 + 15838) % {_MINHASH_P}) AS VARCHAR)) AS band0,
+           md5(CAST(min((5 * h60 + 23757) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+               CAST(min((7 * h60 + 31676) % {_MINHASH_P}) AS VARCHAR)) AS band1
+    FROM h GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native MinHash signatures (k=8 universal-hash perms over
+    md5-derived token hashes, mod the Mersenne prime 2^31−1) plus two
+    2-row LSH band keys — the fully deterministic, engine-portable twin
+    of MLlib's MinHashLSH (k12, which is rows-only because its
+    coefficients are model-internal). Everything is integer arithmetic,
+    so the oracle matches bit-exactly; candidate pairs at scale come
+    from grouping on the band keys, exactly like k12's bucket join.
+
+    Tokens hash map-side; the signature is one groupBy(doc_id) with 8
+    min() partials — fixed-size state, the same mergeable-sketch shape
+    as d16."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+        ).alias("t"),
+    )
+    h60 = F.expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)") % _MINHASH_P
+    hashed = tok.select("doc_id", h60.alias("h60"))
+    mins = [
+        F.min((a * F.col("h60") + b) % _MINHASH_P).cast("long").alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEF)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        *[f"mh{i}" for i in range(8)],
+        F.md5(F.concat_ws("-", F.col("mh0").cast("string"), F.col("mh1").cast("string"))).alias("band0"),
+        F.md5(F.concat_ws("-", F.col("mh2").cast("string"), F.col("mh3").cast("string"))).alias("band1"),
+    )

@@ -371,3 +371,36 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
         )
     )
+
+
+@query(
+    "q_win_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS bal
+      FROM supplier
+    )
+    SELECT s_nationkey, s_suppkey, bal,
+           round(bal / sum(bal) OVER (PARTITION BY s_nationkey), 4) AS nation_share,
+           CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY bal DESC, s_suppkey)
+                AS BIGINT) AS nation_rank
+    FROM rev
+    """,
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's total
+    account balance, plus within-nation rank — the classic share-of-
+    total window report. One shuffle on the partition key; the full-
+    partition sum and the rank reuse the same partitioning."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", F.round("s_acctbal", 2).alias("bal")
+    )
+    wp = Window.partitionBy("s_nationkey")
+    wr = Window.partitionBy("s_nationkey").orderBy(F.col("bal").desc(), F.col("s_suppkey"))
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        "bal",
+        F.round(F.col("bal") / F.sum("bal").over(wp), 4).alias("nation_share"),
+        F.rank().over(wr).cast("long").alias("nation_rank"),
+    )
