@@ -553,3 +553,55 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pcts[0], 2).alias("p50_approx"),
         F.round(pcts[1], 2).alias("p90_approx"),
     )
+
+
+@query(
+    "q_agg_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           round(q.q1, 2) AS q1, round(q.q3, 2) AS q3,
+           CAST(count(*) FILTER (o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1))
+                AS BIGINT) AS n_high_outliers,
+           CAST(count(*) FILTER (o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1))
+                AS BIGINT) AS n_low_outliers,
+           count(*) AS n_orders
+    FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+    GROUP BY o.o_orderpriority, q.q1, q.q3
+    """,
+)
+def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier detection: per-priority exact quartiles, 1.5×IQR
+    fences, outlier counts above/below — the robust complement to the
+    z-score detector (d18). Quartiles come from one exact-percentile agg
+    (tiny result, broadcast back over the scan); both engines use linear
+    interpolation so the fences agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    hi, lo = F.col("q3") + 1.5 * iqr, F.col("q1") - 1.5 * iqr
+    return (
+        orders.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > hi, 1).otherwise(0)).cast("long").alias("n_high_outliers"),
+            F.sum(F.when(F.col("o_totalprice") < lo, 1).otherwise(0)).cast("long").alias("n_low_outliers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+            "n_high_outliers",
+            "n_low_outliers",
+            "n_orders",
+        )
+    )
