@@ -167,3 +167,25 @@ def test_approx_percentile_error_gate(q):
         e50, e90 = exact[k]
         assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
         assert abs(a90 - e90) / e90 < 0.02, (k, a90, e90)
+
+
+def test_basket_lift_broadcasts_item_counts(q):
+    """the per-item count tables must broadcast; only the pair build and
+    its aggregate may shuffle."""
+    plan = physical_plan(q("q_basket_lift"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_signature_single_aggregation(q):
+    """the signature is one groupBy(doc_id) over map-side token hashing:
+    exactly one aggregation exchange, no joins."""
+    plan = physical_plan(q("q_minhash_signatures"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg exchange (+AQE read)
+
+
+def test_lm_score_vocab_broadcasts(q):
+    """the unigram frequency table is the only shared state and must
+    broadcast — the corpus side may not shuffle for the join."""
+    plan = physical_plan(q("q_text_lm_score"))
+    assert "BroadcastHashJoin" in plan, plan
