@@ -522,3 +522,34 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("-", F.col("mh0").cast("string"), F.col("mh1").cast("string"))).alias("band0"),
         F.md5(F.concat_ws("-", F.col("mh2").cast("string"), F.col("mh3").cast("string"))).alias("band1"),
     )
+
+
+@query(
+    "q_dedup_rate_report",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+           round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate report: per-source exact-duplicate rates — the summary
+    a pipeline publishes after a dedup pass to show which crawl sources
+    are redundant. Distinct-of-hash keeps the shuffle at 16 bytes/row;
+    at 100 TB the distinct count switches to the HLL sketch path (d16)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("long").alias("n_dups"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )

@@ -420,3 +420,84 @@ def q_events_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("path", "n", "rank")
     )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(max(l.l_shipdate) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+      HAVING CAST(max(l.l_shipdate) AS DATE) > CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d1 AS day, -1 FROM spans
+    ),
+    daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           net,
+           CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency (sweep line): how many orders are 'open'
+    (placed but not fully shipped) on each day — the +1-at-start /
+    −1-at-end trick that turns interval-overlap counting into a running
+    sum, instead of an O(days × intervals) range join.
+
+    The per-order span aggregate shuffles on orderkey; the sweep itself
+    runs over the ~daily deltas table (2 rows per order reduced to one
+    row per day), so the ordered window input is calendar-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
+        .filter(F.col("d1") > F.col("d0"))
+    )
+    deltas = spans.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@query(
+    "q_events_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-profile
+    aggregate behind every ops dashboard. Pure map-side date-part
+    extraction into a ≤168-group aggregate.
+
+    DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
+    aligned by subtracting 1 on the Spark side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
