@@ -501,3 +501,81 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ),
+    contrib AS (
+      SELECT user_id, CAST(day + to_days(CAST(t.k AS INTEGER)) AS DATE) AS w_day
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) t
+    ),
+    bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud)
+    SELECT CAST(w_day AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib, bounds
+    WHERE w_day BETWEEN bounds.dmin AND bounds.dmax
+    GROUP BY w_day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU): each (user, day) activity row
+    contributes to the 7 trailing windows it falls in — the explode-to-
+    windows trick that turns rolling COUNT DISTINCT (not decomposable as
+    a window aggregate) into a plain groupBy. Fan-out is a fixed ×7 of
+    the already-deduped (user, day) relation, so the shuffle stays
+    proportional to active-user-days, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)")).alias("w_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("w_day").between(F.col("dmin"), F.col("dmax")))
+        .groupBy(F.col("w_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+@query(
+    "q_revenue_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+             CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS mo,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY yr, mo), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY yr, mo))
+                 / lag(revenue) OVER (ORDER BY yr, mo) * 100, 4) AS pct_change
+    FROM monthly
+    """,
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly totals + lag-based delta
+    and percent change — the canonical KPI trend query. The ordered
+    window runs over the monthly aggregate (≤ a few dozen rows), never
+    the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )
