@@ -579,3 +579,70 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
     )
+
+
+@query(
+    "q_events_error_rate",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+           round(CAST(count(*) FILTER (event_type = 'error') AS DOUBLE) / count(*), 4)
+             AS error_rate
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error rate — the SLO time series every ops dashboard plots.
+    Conditional count inside one partial-aggregated groupBy; the ratio
+    divides exact integers so it matches the oracle bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_err.cast("long").alias("n_errors"),
+        F.round(n_err.cast("double") / F.count(F.lit(1)), 4).alias("error_rate"),
+    )
+
+
+@query(
+    "q_user_inactivity",
+    oracle="""
+    WITH last_seen AS (
+      SELECT user_id,
+             CAST(max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS last_day,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT CAST(max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS max_day
+      FROM events
+    )
+    SELECT user_id, CAST(last_day AS VARCHAR) AS last_day, n_events,
+           CAST(date_diff('day', last_day, horizon.max_day) AS BIGINT) AS days_inactive,
+           date_diff('day', last_day, horizon.max_day) >= 7 AS churn_risk
+    FROM last_seen, horizon
+    """,
+)
+def q_user_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity / churn-risk flagging: days since each user's last
+    activity relative to the corpus horizon, flagged at ≥7 idle days —
+    the retention-ops complement to the cohort matrix (i12). One
+    per-user aggregate plus a broadcast 1-row horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    horizon = ev.agg(F.to_date(F.max(F.date_trunc("day", "ts"))).alias("max_day"))
+    idle = F.datediff("max_day", "last_day")
+    return last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.col("last_day").cast("string").alias("last_day"),
+        "n_events",
+        idle.cast("long").alias("days_inactive"),
+        (idle >= 7).alias("churn_risk"),
+    )
