@@ -590,3 +590,177 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(co_d * n_orders / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
         )
     )
+
+
+@query(
+    "q_user_user_cf",
+    oracle="""
+    WITH user_items AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    pair_counts AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS co
+      FROM user_items a JOIN user_items b
+        ON a.item_id = b.item_id AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    user_counts AS (
+      SELECT user_id, count(*) AS n_items FROM user_items GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_a, user_b, co,
+             CAST(floor(CAST(co AS DOUBLE) * 1000000
+                        / sqrt(CAST(ua.n_items * ub.n_items AS DOUBLE))) AS BIGINT)
+               AS cosine_x1e6
+      FROM pair_counts
+      JOIN user_counts ua ON user_a = ua.user_id
+      JOIN user_counts ub ON user_b = ub.user_id
+      WHERE co >= 5
+    )
+    SELECT user_a, user_b, co, cosine_x1e6, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine_x1e6 DESC, user_a, user_b) AS rn
+      FROM scored
+    ) WHERE rn <= 50
+    """,
+)
+def q_user_user_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative-filtering neighborhood: cosine similarity
+    between users' binary item-ownership vectors, top-50 pairs.
+
+    cos(u,v) = |I_u ∩ I_v| / sqrt(|I_u|·|I_v|) — the numerator is an
+    integer co-count from a posting-list self-join on the item key (the
+    same shuffle shape as item-item k3, transposed), so every input to
+    the final divide is exact and the floor-scaled score matches the
+    oracle bit-for-bit (sqrt/÷ are single correctly-rounded IEEE ops).
+
+    Scale: the item-key self-join fans out quadratically in item
+    popularity — at 100 TB the co≥5 floor moves before the join as a
+    per-item top-M neighbor cap (as q_item_recs_cooccur does) or the
+    head items get the salted-join treatment (l8); the final global
+    top-50 is a TakeOrderedAndProject, no total sort.
+    """
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    user_items = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    a, b = user_items.alias("a"), user_items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.item_id") == F.col("b.item_id"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    counts = user_items.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
+    ua = F.broadcast(counts.select(F.col("user_id").alias("user_a"), F.col("n_items").alias("na")))
+    ub = F.broadcast(counts.select(F.col("user_id").alias("user_b"), F.col("n_items").alias("nb")))
+    cos = F.floor(
+        F.col("co").cast("double") * 1_000_000
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    ).cast("long")
+    w = Window.orderBy(F.col("cosine_x1e6").desc(), "user_a", "user_b")
+    return (
+        pairs.join(ua, "user_a")
+        .join(ub, "user_b")
+        .select("user_a", "user_b", "co", cos.alias("cosine_x1e6"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+@query(
+    "q_item_recs_cooccur",
+    oracle="""
+    WITH item_orders AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    co AS (
+      SELECT a.l_partkey AS item_i, b.l_partkey AS item_j, count(*) AS co
+      FROM item_orders a JOIN item_orders b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    ),
+    neighbors AS (
+      SELECT item_i, item_j, co
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_i
+                                     ORDER BY co DESC, item_j) AS nr
+        FROM co
+      ) WHERE nr <= 10
+    ),
+    user_items AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    scores AS (
+      SELECT ui.user_id, n.item_j AS rec_item,
+             CAST(sum(n.co) AS BIGINT) AS score, count(*) AS n_sources
+      FROM user_items ui JOIN neighbors n ON ui.item_id = n.item_i
+      WHERE NOT EXISTS (SELECT 1 FROM user_items o
+                        WHERE o.user_id = ui.user_id AND o.item_id = n.item_j)
+      GROUP BY ui.user_id, n.item_j
+    )
+    SELECT user_id, rec_item, score, n_sources, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, rec_item) AS rn
+      FROM scores
+    ) WHERE rn <= 3
+    """,
+)
+def q_item_recs_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 recommendations per user from the item-item co-occurrence
+    neighborhood — the non-iterative, fully oracle-checkable counterpart
+    to ALS recommendForAllUsers (k6): score(u, j) = Σ_{i∈I_u} co(i, j)
+    over each owned item's top-10 neighbor list, already-owned items
+    anti-joined away.
+
+    Scale: capping neighbors at 10 per item BEFORE the user join bounds
+    the candidate fan-out at 10·|I_u| rows per user regardless of item
+    popularity — the cap is the standard candidate-generation trick that
+    keeps this join linear in the interaction count at 100 TB. The
+    neighbor list is small (items × 10) and broadcast; the anti-join and
+    scoring shuffle on user_id only.
+    """
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    item_orders = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = item_orders.alias("a"), item_orders.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("item_i"), F.col("b.l_partkey").alias("item_j"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    wn = Window.partitionBy("item_i").orderBy(F.col("co").desc(), "item_j")
+    neighbors = co.withColumn("nr", F.row_number().over(wn)).filter(F.col("nr") <= 10).drop("nr")
+    user_items = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    cand = user_items.join(F.broadcast(neighbors), F.col("item_id") == F.col("item_i"))
+    owned = user_items.select("user_id", F.col("item_id").alias("rec_item"))
+    scores = (
+        cand.select("user_id", F.col("item_j").alias("rec_item"), "co")
+        .join(owned, ["user_id", "rec_item"], "left_anti")
+        .groupBy("user_id", "rec_item")
+        .agg(F.sum("co").alias("score"), F.count(F.lit(1)).alias("n_sources"))
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("score").desc(), "rec_item")
+    return (
+        scores.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rec_item", "score", "n_sources", "rank")
+    )
