@@ -553,3 +553,106 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q_dedup_lsh_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+               % {_MINHASH_P} AS h60
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             md5(CAST(min((1 * h60 + 7919) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+                 CAST(min((3 * h60 + 15838) % {_MINHASH_P}) AS VARCHAR)) AS band0,
+             md5(CAST(min((5 * h60 + 23757) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+                 CAST(min((7 * h60 + 31676) % {_MINHASH_P}) AS VARCHAR)) AS band1
+      FROM h GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(floor(CAST(n_shared AS DOUBLE) * 1000000
+                      / (sa.n_tok + sb.n_tok - n_shared)) AS BIGINT) AS jaccard_x1e6,
+           CAST(floor(CAST(n_shared AS DOUBLE) * 1000000
+                      / (sa.n_tok + sb.n_tok - n_shared)) AS BIGINT) >= 500000 AS is_dup
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)
+def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end deterministic LSH near-dup pipeline: MinHash signatures
+    (l17) → band-bucket equi-joins → candidate pairs → exact Jaccard
+    verification restricted to candidates. This is the scale path that
+    replaces the all-pairs join (k13) at 100 TB: the bucket join only
+    compares docs sharing a band key, and the verify join fans out
+    candidates — not the corpus — by token count.
+
+    Unlike MLlib's MinHashLSH (k12, rows-only), every stage here is
+    integer/md5 arithmetic, so the whole pipeline hash-matches the
+    oracle. Scale: band buckets are the unit of skew — production adds a
+    bucket-size cap (drop/sample buckets above M members, they're
+    boilerplate) before pair expansion; the jaccard ratio is exact
+    integers floor-scaled, immune to float summation order.
+    """
+    sig = q_minhash_signatures(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    pair = lambda band: (
+        a.join(b, (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = pair("band0").unionByName(pair("band1")).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("t"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("tb.t") == F.col("ta.t")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.floor(
+        F.col("n_shared").cast("double") * 1_000_000
+        / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    ).cast("long")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            jac.alias("jaccard_x1e6"),
+            (jac >= 500_000).alias("is_dup"),
+        )
+    )

@@ -301,3 +301,41 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nll") / F.col("n_tokens"), 4).alias("avg_neg_log_prob"),
         )
     )
+
+
+@query(
+    "q_kfold_split",
+    oracle="""
+    WITH folded AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                  AS BIGINT) % 5 AS fold,
+             n_chars, lang
+      FROM documents
+    )
+    SELECT fold, count(*) AS n_docs,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM folded GROUP BY fold
+    """,
+)
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by hashing the
+    stable document key (md5 mod k) — the reproducible, engine-portable
+    split a training pipeline needs so every rerun and every system
+    (Spark, the feature store, the eval harness) lands each doc in the
+    same fold. Reports per-fold size, mean length, and language spread
+    as the balance check.
+
+    Scale: the fold id is a map-side expression over the scan — no
+    shuffle, no sampling state, and adding data never reassigns existing
+    docs (unlike randomSplit, whose assignment shifts with partitioning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)") % 5
+    )
+    return docs.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias("avg_n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

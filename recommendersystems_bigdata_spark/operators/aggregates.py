@@ -605,3 +605,70 @@ def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(i * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           CAST(floor((2.0 * weighted - (n + 1.0) * total)
+                      / (CAST(n AS DOUBLE) * total) * 1000000) AS BIGINT) AS gini_x1e6
+    FROM sums
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — how unequal
+    the spend distribution is (0 = uniform, →1 = one whale). Uses the
+    rank formula G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending
+    per-customer totals.
+
+    Hash-match discipline: revenue is floored to integer cents
+    per-ORDER before summing (double summation order never matters),
+    the rank products stay in BIGINT, and only the final ratio touches
+    floating point — one divide of identical integers on both engines,
+    floor-scaled to 1e6.
+
+    Scale: the rank window is a global sort — fine for a per-customer
+    aggregate (n = customers, not lineitems), but at 1000× customers the
+    rank comes from a two-pass distributed ranking (per-partition counts
+    → offset broadcast) instead of a single-partition window; the note
+    in SCALE.md covers the swap.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    ranked = rev.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    gini = (
+        (2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total"))
+        / (F.col("n").cast("double") * F.col("total"))
+        * 1_000_000
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.floor(gini).cast("long").alias("gini_x1e6"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.catalog import load_table, load_tables
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -645,4 +645,40 @@ def q_user_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         idle.cast("long").alias("days_inactive"),
         (idle >= 7).alias("churn_risk"),
+    )
+
+
+@query(
+    "q_ship_ontime_rate",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+           count(*) AS n_items,
+           CAST(count(*) FILTER (datediff('day', o_orderdate, l_shipdate) <= 30)
+                AS BIGINT) AS n_ontime,
+           round(CAST(count(*) FILTER (datediff('day', o_orderdate, l_shipdate) <= 30)
+                      AS DOUBLE) / count(*), 4) AS ontime_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_ship_ontime_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly on-time fulfillment rate: share of lineitems shipped
+    within 30 days of their order date — the operational KPI twin of the
+    latency distribution (h5), as an exact-integer conditional ratio.
+
+    Scale: the join shuffles on the order key once; the monthly rollup
+    is a ≤84-group aggregate with full map-side partials.
+    """
+    li, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    ontime = F.when(F.datediff("l_shipdate", "o_orderdate") <= 30, 1).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).cast("string").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(ontime).cast("long").alias("n_ontime"),
+            F.round(F.sum(ontime).cast("double") / F.count(F.lit(1)), 4).alias("ontime_rate"),
+        )
     )
