@@ -339,3 +339,38 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias("avg_n_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@query(
+    "q_feature_minmax",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           CAST(floor((c_acctbal - lo) / (hi - lo) * 1000000) AS BIGINT)
+             AS scaled_x1e6
+    FROM customer, bounds
+    """,
+)
+def q_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling of customer balance to [0, 1] — the
+    feature-normalization twin of z-scoring (d18), spelled so the 1-row
+    bounds broadcast back over the scan (no second shuffle).
+
+    Hash-match: subtraction, divide, and scale are each one IEEE op on
+    identical operands, so the floor-scaled integer matches the oracle
+    exactly — no double summation anywhere.
+
+    Scale: bounds are a 1-row aggregate (map-side partials), the scan
+    re-reads pruned columns only, and the scaled projection is map-only.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    return cust.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 1_000_000)
+        .cast("long")
+        .alias("scaled_x1e6"),
+    )

@@ -672,3 +672,88 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_cents"),
         F.floor(gini).cast("long").alias("gini_x1e6"),
     )
+
+
+@query(
+    "q_quantile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           round(sum(o_totalprice), 2) AS total
+    FROM binned GROUP BY decile
+    """,
+)
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of order value — quantile discretization,
+    the feature-binning step ML pipelines run before one-hot/monotonic
+    encoders (and the equi-DEPTH complement of the fixed-width histogram
+    d17). ntile is made deterministic by the unique-key tie-break.
+
+    Scale: ntile needs a global sort; at 1000× the bins come from
+    approx-percentile cut points (d21) broadcast back over the scan —
+    one pass, no sort. The exact version stays the small-data oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    binned = orders.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    )
+    return binned.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT count(*) AS n_total FROM lineitem)
+    SELECT l_partkey, n_rows, CAST(rn AS BIGINT) AS rank,
+           CAST(floor(CAST(n_rows AS DOUBLE) * 1000000 / n_total) AS BIGINT)
+             AS share_x1e6
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_rows DESC, l_partkey) AS rn
+      FROM per_key
+    ), total
+    WHERE rn <= 20
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest l_partkey values and
+    their share of all lineitem rows — the pre-flight a pipeline runs
+    before a big join to decide whether a key needs the salted treatment
+    (l8) or AQE skew-join splitting. Purely integer counts.
+
+    Scale: per-key counts combine map-side; the top-20 is a
+    TakeOrderedAndProject over the (small) per-key aggregate, and the
+    1-row total broadcasts — nothing here grows with the fact table
+    beyond the first agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = per_key.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("n_rows").desc(), "l_partkey")).cast("long")
+    ).filter(F.col("rank") <= 20)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "n_rows",
+        "rank",
+        F.floor(F.col("n_rows").cast("double") * 1_000_000 / F.col("n_total"))
+        .cast("long")
+        .alias("share_x1e6"),
+    )

@@ -682,3 +682,73 @@ def q_ship_ontime_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(ontime).cast("double") / F.count(F.lit(1)), 4).alias("ontime_rate"),
         )
     )
+
+
+@query(
+    "q_session_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                                  OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(new_session)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT day, count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate
+    FROM sessions GROUP BY day
+    """,
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session conversion rate: sessionize with the 30-minute
+    gaps-and-islands machinery (i8), flag sessions containing a purchase,
+    and roll up by session-start day — the funnel KPI most product
+    dashboards lead with.
+
+    Scale: one user_id shuffle covers both windows and the session
+    rollup; the daily aggregate is a ≤(days) group map-side-combined agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(order_w).cast("timestamp")
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(order_w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(run_w).cast("long"))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").cast("string").alias("day"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias("conv_rate"),
+    )
