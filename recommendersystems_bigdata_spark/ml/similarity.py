@@ -307,3 +307,88 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").cast("long").alias("min_q"),
         err.alias("sum_err_micro"),
     )
+
+
+@query(
+    "q_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             e.vec_id AS neighbor_id, e.label AS n_label,
+             {sql_cosine('q.embedding', 'e.embedding')} AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, true_label, n_label
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label AS pred_label, count(*) AS votes
+      FROM knn GROUP BY query_id, true_label, n_label
+    )
+    SELECT query_id, true_label, pred_label, votes,
+           pred_label = true_label AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, pred_label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote: each of the first 20 query
+    vectors takes the modal label of its 5 cosine-nearest neighbors
+    (self excluded; vote ties broken by label) — the eval loop that
+    turns a similarity index (k9/k10) into a classifier.
+
+    Scale: the query side is a bounded batch broadcast against the
+    corpus scan, exactly k9's shape; the vote is an integer count over
+    k·Q rows — driver-free, and the corpus side never shuffles more
+    than its per-partition top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    from recommendersystems_bigdata_spark.ml.vectors import cosine
+
+    scored = (
+        e.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "n_label",
+            cosine(F.col("q_emb"), F.col("n_emb")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    knn = scored.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 5)
+    votes = knn.groupBy("query_id", "true_label", F.col("n_label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("pred_label").asc())
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
