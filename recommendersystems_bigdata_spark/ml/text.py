@@ -330,3 +330,99 @@ def q_text_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpeish_tokens").alias("total_bpeish_tokens"),
         F.round(F.avg(F.col("bpeish_tokens") / F.col("ws_tokens")), 4).alias("expansion_ratio"),
     )
+
+
+@query(
+    "q_top_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tl FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+                    i -> tl[i] || ' ' || tl[i + 1])) AS bigram
+      FROM toks
+    ),
+    counted AS (
+      SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+    )
+    SELECT bigram, n, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rn FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token bigrams — the n-gram frequency table an
+    LM data pipeline builds for contamination screens (see
+    q_contamination_check) and boilerplate detection. The bigram list is
+    built JVM-side with sequence+slice higher-order functions, exploded
+    once, and counted with map-side partials.
+
+    Scale: identical shape to word count (h3) — one shuffle keyed by
+    bigram; the head of the distribution is what matters, so the global
+    top-20 is a TakeOrderedAndProject over the aggregated counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens().alias("tl"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tl") - 1),
+        lambda i: F.concat_ws(" ", F.slice("tl", i, 2)),
+    )
+    counted = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("bigram", "n", "rank")
+    )
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    per_source AS (
+      SELECT source, count(*) AS total_tokens,
+             CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+      FROM tok GROUP BY source
+    ),
+    docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT source, n_docs, total_tokens, distinct_tokens,
+           CAST(floor(CAST(distinct_tokens AS DOUBLE) * 1000000 / total_tokens)
+                AS BIGINT) AS ttr_x1e6
+    FROM per_source JOIN docs USING (source)
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size and type-token ratio per crawl source — the
+    Heaps-law diagnostic that tells a data pipeline which sources are
+    lexically rich vs boilerplate-heavy (low TTR → templated text, a
+    dedup/quality signal alongside l5/l12).
+
+    Scale: the token explode shuffles once on source (tiny cardinality
+    — skew-prone at 100 TB, so production salts the count-distinct or
+    swaps in the HLL sketch path d16); everything else is integer exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens()).alias("t"))
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("t").cast("long").alias("distinct_tokens"),
+    )
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_source.join(ndocs, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "distinct_tokens",
+        F.floor(F.col("distinct_tokens").cast("double") * 1_000_000 / F.col("total_tokens"))
+        .cast("long")
+        .alias("ttr_x1e6"),
+    )

@@ -757,3 +757,66 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_x1e6"),
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(d.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (d.dev > 4.4478 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: events
+    whose |value − median| exceeds 3σ-equivalent (3 × 1.4826 × MAD) of
+    their type — the outlier fence that, unlike z-scores (d18), a few
+    extreme points cannot drag. Completes the robust-stats trio with
+    the IQR fences (d22).
+
+    Two tiny per-type medians broadcast back over the scan; abs and the
+    fence comparison are single IEEE ops on identical operands, so
+    counts match the oracle exactly.
+
+    Scale: three passes over events with a broadcast join each — at
+    100 TB the exact medians swap for percentile_approx partials (d21's
+    mergeable-sketch path) and it becomes one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("dev") > 4.4478 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+    )

@@ -258,3 +258,44 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
     )
+
+
+@query(
+    "q_apply_deletes",
+    oracle="""
+    WITH tombstones AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    survivors AS (
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM tombstones t
+                        WHERE t.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM survivors GROUP BY o_orderstatus
+    """,
+)
+def q_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete application — the DELETE half of CDC merge
+    (q_upsert_latest is the UPDATE half): a derived tombstone batch
+    anti-joined against the base table, summarized per status with an
+    integer-cents checksum proving exactly the deleted keys vanished.
+
+    Scale: the tombstone side of a CDC batch is small — broadcast the
+    anti-join so the base scan never shuffles; with a bucketed base
+    (l9) even billion-row delete batches co-locate by key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tombstones = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    survivors = orders.join(F.broadcast(tombstones), "o_orderkey", "left_anti")
+    return survivors.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
