@@ -189,3 +189,55 @@ def test_lm_score_vocab_broadcasts(q):
     broadcast — the corpus side may not shuffle for the join."""
     plan = physical_plan(q("q_text_lm_score"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_join_avoids_nested_loop(q):
+    """the LSH candidate join must stay an equi hash/sort-merge join on
+    the band keys — a BroadcastNestedLoopJoin here would mean the
+    bucketing degenerated to all-pairs (the SCALE.md measured hazard)."""
+    plan = physical_plan(q("q_dedup_lsh_join"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_item_recs_neighbor_list_broadcasts(q):
+    """the capped top-10 neighbor list is the small side and must
+    broadcast into the user-items join — candidate generation may not
+    shuffle the interaction table against the neighbor table."""
+    plan = physical_plan(q("q_item_recs_cooccur"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skew_report_total_broadcasts(q):
+    """the 1-row total joins via broadcast (nested-loop on a 1-row side
+    is fine too) — never a shuffle of the per-key aggregate."""
+    plan = physical_plan(q("q_skew_report"))
+    assert "Exchange hashpartitioning(l_partkey" not in plan or "Broadcast" in plan, plan
+
+
+def test_feature_minmax_single_scan_shape(q):
+    """bounds come from a 1-row aggregate broadcast back over the scan;
+    the projection itself is map-only (no hash-partition exchange on the
+    output side)."""
+    plan = physical_plan(q("q_feature_minmax"))
+    assert "Broadcast" in plan, plan
+
+
+def test_knn_vote_query_side_broadcasts(q):
+    """the bounded query batch must broadcast against the corpus scan —
+    k9's contract, inherited by the classification wrapper."""
+    plan = physical_plan(q("q_knn_label_vote"))
+    assert "Broadcast" in plan, plan
+
+
+def test_anomaly_mad_medians_broadcast(q):
+    """both per-type median tables are tiny and must broadcast back over
+    the events scan."""
+    plan = physical_plan(q("q_anomaly_mad"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_apply_deletes_broadcast_anti_join(q):
+    """the tombstone batch must broadcast; the base scan may not shuffle
+    for the anti-join."""
+    plan = physical_plan(q("q_apply_deletes"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
