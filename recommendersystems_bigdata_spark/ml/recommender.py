@@ -764,3 +764,43 @@ def q_item_recs_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("user_id", "rec_item", "score", "n_sources", "rank")
     )
+
+
+@query(
+    "q_cross_sell_brands",
+    oracle="""
+    WITH order_brands AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+    FROM order_brands a JOIN order_brands b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    """,
+)
+def q_cross_sell_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level cross-sell matrix: orders containing both brands, for
+    every brand pair — the co-occurrence graph (k3) rolled up to the
+    dimension level where merchandising actually reads it.
+
+    Scale: distinct-ing (order, brand) BEFORE the self-join caps the
+    per-order fan-out at brands-per-order (≤25), not lineitems²; the
+    part dimension broadcasts; output is at most brands² rows.
+    """
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    order_brands = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = order_brands.alias("a"), order_brands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -392,3 +392,79 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m
+        FROM exploded GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             CAST(floor(list_sum(list_transform(
+                    list_zip(e.embedding, c.centroid),
+                    z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])
+                  )) * 1000000) AS BIGINT) AS sqdist_x1e6
+      FROM embeddings e JOIN centroids c ON e.label = c.label
+    )
+    SELECT vec_id, label, sqdist_x1e6, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY sqdist_x1e6 DESC, vec_id) AS rn
+      FROM dists
+    ) WHERE rn <= 3
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 3 vectors farthest (squared L2)
+    from their label centroid — the mislabel/degenerate-vector screen a
+    training pipeline runs before contrastive fine-tuning.
+
+    The centroid is rounded to 6dp BEFORE the distance pass (k18's
+    output contract), so both engines measure against identical
+    coordinates; the distance itself is a list-ordered fold, floor-scaled.
+
+    Scale: centroids are (labels × 64) doubles from one positional agg —
+    broadcast back over the scan; the distance pass is map-only and the
+    per-label top-3 never shuffles more than k rows per partition.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s.m, 6)
+            ).alias("centroid")
+        )
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = emb.join(F.broadcast(centroids), "label").select(
+        "vec_id", "label", F.floor(diff_sq * 1_000_000).cast("long").alias("sqdist_x1e6")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sqdist_x1e6").desc(), "vec_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "label", "sqdist_x1e6", "rank")
+    )

@@ -820,3 +820,43 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "q_repeat_purchase_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment, o_custkey, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_buyers,
+           CAST(count(*) FILTER (n_orders >= 2) AS BIGINT) AS n_repeat,
+           round(CAST(count(*) FILTER (n_orders >= 2) AS DOUBLE) / count(*), 4)
+             AS repeat_rate,
+           round(CAST(sum(n_orders) AS DOUBLE) / count(*), 2) AS avg_orders
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: share of buyers with ≥2
+    orders plus mean order count — the loyalty KPI next to RFM (e10).
+    Exact integer counts end-to-end; only the final ratios divide.
+
+    Scale: the per-customer rollup shuffles once on the customer key
+    (the dimension join broadcasts); the segment rollup is 5 groups.
+    """
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    per_cust = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    repeat = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        repeat.cast("long").alias("n_repeat"),
+        F.round(repeat.cast("double") / F.count(F.lit(1)), 4).alias("repeat_rate"),
+        F.round(F.sum("n_orders").cast("double") / F.count(F.lit(1)), 2).alias("avg_orders"),
+    )

@@ -299,3 +299,65 @@ def q_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@query(
+    "q_zorder_clustering",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(o_custkey & 65535 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                  & 65535 AS BIGINT) AS y
+      FROM orders
+    ),
+    zvals AS (
+      SELECT o_orderkey, x, y,
+             CAST(list_sum(list_transform(generate_series(0, 15),
+                  i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+                  AS BIGINT) AS z
+      FROM keyed
+    )
+    SELECT CAST(z >> 16 AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_cust, CAST(max(x) AS BIGINT) AS max_cust,
+           CAST(min(y) AS BIGINT) AS min_day, CAST(max(y) AS BIGINT) AS max_day
+    FROM zvals GROUP BY 1
+    """,
+)
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report: interleave the bits of
+    (customer key, order day) into one sort key and summarize each
+    z-bucket's min/max in BOTH dimensions — the table-maintenance
+    technique that makes a single file sort give range-scan pruning on
+    two columns at once. The narrow per-bucket spans in the output ARE
+    the proof the curve localizes both dims.
+
+    Pure integer bit arithmetic (shift/and folded over sequence(0,15)),
+    so the oracle matches exactly.
+
+    Scale: computing z is map-side; the real maintenance job sorts by z
+    and writes files whose footer min/max then prune both predicates —
+    this report is the quality check run after compaction (a8).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey").bitwiseAND(F.lit(65535))).cast("long").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        ).bitwiseAND(F.lit(65535)).cast("long").alias("y"),
+    )
+    z = F.expr(
+        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
+        " + shiftleft(shiftright(x, i) & 1, 2 * i)"
+        " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+    )
+    zvals = keyed.select("o_orderkey", "x", "y", z.alias("z"))
+    return zvals.groupBy(F.shiftright("z", 16).cast("long").alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("long").alias("min_cust"),
+        F.max("x").cast("long").alias("max_cust"),
+        F.min("y").cast("long").alias("min_day"),
+        F.max("y").cast("long").alias("max_day"),
+    )
