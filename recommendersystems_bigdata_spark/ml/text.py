@@ -426,3 +426,68 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_x1e6"),
     )
+
+
+@query(
+    "q_boilerplate_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tl FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(tl) // 8 - 1),
+                    i -> list_aggregate(list_slice(tl, i * 8 + 1, i * 8 + 8),
+                                        'string_agg', ' ')))
+               AS segment
+      FROM toks
+    ),
+    counted AS (
+      SELECT segment,
+             count(*) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM seg GROUP BY segment
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT segment, n_occurrences, n_docs, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_docs DESC, segment) AS rn
+      FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: non-overlapping 8-token
+    segments (the line/sentence proxy for this corpus, which has no
+    punctuation) repeated across >=2 documents, ranked by document
+    reach — the C4-style line-dedup signal that catches templated
+    intros and footers even when whole docs are unique.
+
+    Scale: identical shape to word count — segment build is a map-side
+    HOF, one shuffle keyed by segment (hash segments to 16 bytes at
+    100 TB to shrink it, as k11 does for whole docs); top-20 is a
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("tl"))
+    segments = F.transform(
+        F.sequence(F.lit(0), F.floor(F.size("tl") / 8).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice("tl", i * 8 + 1, 8)),
+    )
+    sent = toks.filter(F.size("tl") >= 8).select(
+        "doc_id", F.explode(segments).alias("segment")
+    )
+    counted = (
+        sent.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), "segment")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("segment", "n_occurrences", "n_docs", "rank")
+    )

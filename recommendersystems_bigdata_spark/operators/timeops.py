@@ -752,3 +752,31 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("n_converted"),
         F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias("conv_rate"),
     )
+
+
+@query(
+    "q_daily_value_percentiles",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR)
+             AS day,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY 1
+    """,
+)
+def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 of event value — the latency-SLO time-series shape
+    (exact interpolated percentiles per day, d10's machinery on a time
+    key). Scale: per-day exact percentiles sort within day partitions;
+    at 100 TB the sketch path (d21) replaces the sort and merges
+    per-executor GK summaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )

@@ -404,3 +404,69 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bal") / F.sum("bal").over(wp), 4).alias("nation_share"),
         F.rank().over(wr).cast("long").alias("nation_rank"),
     )
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    per_decile AS (
+      SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM tiled GROUP BY decile
+    ),
+    grand AS (SELECT CAST(sum(cents) AS BIGINT) AS g FROM spend)
+    SELECT decile, n_customers, total_cents,
+           CAST(floor(CAST(total_cents AS DOUBLE) * 1000000 / g) AS BIGINT)
+             AS share_x1e6,
+           CAST(floor(CAST(sum(total_cents) OVER (ORDER BY decile) AS DOUBLE)
+                      * 1000000 / g) AS BIGINT) AS cum_share_x1e6
+    FROM per_decile, grand
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gain chart: customers ranked by total spend, cut
+    into deciles, each decile's share and cumulative share of revenue —
+    the chart every targeting model is judged with (and the windowed
+    generalization of the ABC/Pareto classes, e11).
+
+    Integer-cents end-to-end; the two shares are floor-scaled single
+    divides. Scale: per-customer spend aggregates map-side; the ntile
+    needs a global sort of n_customers rows (not facts) — at 1000× the
+    decile cut-points come from approx percentiles (d21) instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    tiled = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("decile"),
+    )
+    per_decile = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    grand = spend.agg(F.sum("cents").cast("long").alias("g"))
+    cum_w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_decile.crossJoin(F.broadcast(grand)).select(
+        "decile",
+        "n_customers",
+        "total_cents",
+        F.floor(F.col("total_cents").cast("double") * 1_000_000 / F.col("g"))
+        .cast("long")
+        .alias("share_x1e6"),
+        F.floor(
+            F.sum("total_cents").over(cum_w).cast("double") * 1_000_000 / F.col("g")
+        )
+        .cast("long")
+        .alias("cum_share_x1e6"),
+    )
