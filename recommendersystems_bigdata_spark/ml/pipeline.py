@@ -374,3 +374,71 @@ def q_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scaled_x1e6"),
     )
+
+
+@query(
+    "q_pipeline_end2end",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(len({{toks}}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    keep_dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM sized
+    ),
+    tagged AS (
+      SELECT lang, n_tokens,
+             CASE WHEN rn > 1 THEN 'dup'
+                  WHEN n_tokens < 20 OR n_tokens > 1000 THEN 'length'
+                  ELSE 'kept' END AS status
+      FROM keep_dedup
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (status = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (status = 'dup') AS BIGINT) AS n_dropped_dup,
+           CAST(count(*) FILTER (status = 'length') AS BIGINT) AS n_dropped_len,
+           CAST(sum(n_tokens) FILTER (status = 'kept') AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN status = 'kept'
+                    THEN greatest((n_tokens - 32 + 23) // 24, 0) + 1
+                    ELSE 0 END) AS BIGINT) AS n_chunks
+    FROM tagged GROUP BY lang
+    """.format(toks="list_filter(string_split(text, ' '), t -> t <> '')"),
+)
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline accounting: exact dedup
+    (keep-min-id per content hash, k11) → length filter (20–1000
+    tokens) → context-window chunk estimate (l11's 32/24 window math) —
+    the per-language keep/drop/chunk report a corpus build publishes
+    after every run.
+
+    Scale: one content-hash shuffle (16-byte keys) for dedup rank, then
+    a per-lang map-side-combined aggregate — the whole report is two
+    exchanges regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    tagged = sized.withColumn("rn", F.row_number().over(w)).select(
+        "lang",
+        "n_tokens",
+        F.when(F.col("rn") > 1, "dup")
+        .when((F.col("n_tokens") < 20) | (F.col("n_tokens") > 1000), "length")
+        .otherwise("kept")
+        .alias("status"),
+    )
+    kept = F.col("status") == "kept"
+    chunks = F.greatest(F.floor((F.col("n_tokens") - 32 + 23) / 24), F.lit(0)) + 1
+    return tagged.groupBy("lang").agg(
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum((F.col("status") == "dup").cast("int")).cast("long").alias("n_dropped_dup"),
+        F.sum((F.col("status") == "length").cast("int")).cast("long").alias("n_dropped_len"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
+        F.sum(F.when(kept, chunks).otherwise(0)).cast("long").alias("n_chunks"),
+    )
