@@ -833,16 +833,20 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*) AS n_buyers,
            CAST(count(*) FILTER (n_orders >= 2) AS BIGINT) AS n_repeat,
-           round(CAST(count(*) FILTER (n_orders >= 2) AS DOUBLE) / count(*), 4)
-             AS repeat_rate,
-           round(CAST(sum(n_orders) AS DOUBLE) / count(*), 2) AS avg_orders
+           CAST(floor(CAST(count(*) FILTER (n_orders >= 2) AS DOUBLE) * 1000000
+                      / count(*)) AS BIGINT) AS repeat_x1e6,
+           CAST(floor(CAST(sum(n_orders) AS DOUBLE) * 100 / count(*)) AS BIGINT)
+             AS avg_orders_x100
     FROM per_cust GROUP BY c_mktsegment
     """,
 )
 def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase rate per market segment: share of buyers with ≥2
     orders plus mean order count — the loyalty KPI next to RFM (e10).
-    Exact integer counts end-to-end; only the final ratios divide.
+    Exact integer counts end-to-end; the ratios are floor-scaled single
+    divides (round() of an integer ratio is the half-way-decimal trap:
+    Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+    binary value — 403/40 = 10.075 produced 10.08 vs 10.07).
 
     Scale: the per-customer rollup shuffles once on the customer key
     (the dimension join broadcasts); the segment rollup is 5 groups.
@@ -857,6 +861,10 @@ def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_buyers"),
         repeat.cast("long").alias("n_repeat"),
-        F.round(repeat.cast("double") / F.count(F.lit(1)), 4).alias("repeat_rate"),
-        F.round(F.sum("n_orders").cast("double") / F.count(F.lit(1)), 2).alias("avg_orders"),
+        F.floor(repeat.cast("double") * 1_000_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("repeat_x1e6"),
+        F.floor(F.sum("n_orders").cast("double") * 100 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_orders_x100"),
     )

@@ -243,3 +243,32 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(counted, "update")
+
+
+@query("q_stream_session_window")
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3 (streaming form) — session windows under a watermark: per-user
+    sessions with a 30-minute gap computed incrementally. Session state
+    MERGES as events arrive (unlike fixed windows), and a session only
+    emits once the watermark passes its close — the canonical stateful-
+    merging-window workload. Sessions still open at the watermark horizon
+    stay in state, so the drained result is the closed-session subset of
+    the batch twin (q_session_window); tests/test_streaming.py asserts
+    the containment.
+
+    Scale: state is one (start, end, count) row per open session per
+    user — eviction tracks the watermark, so state size is bounded by
+    active users × gap horizon, not history.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "append")

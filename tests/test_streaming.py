@@ -161,3 +161,26 @@ def test_foreach_batch_sink_delivers_all_rows(spark, sf_dir):
     total = int(per_batch["n_rows"].sum())
     src = load_table(spark, sf_dir, "events").count()
     assert total == src, (total, src)
+
+
+def test_stream_session_window_subset_of_batch(spark, sf_dir):
+    """streaming sessions (closed before the final watermark) must agree
+    exactly — same start, same event count — with the batch session
+    operator; open sessions may be withheld, never altered."""
+    from recommendersystems_bigdata_spark import registry
+
+    registry.load_all()
+    streamed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in registry.QUERIES["q_stream_session_window"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in registry.QUERIES["q_session_window"](spark, sf_dir).collect()
+    }
+    assert streamed, "no sessions emitted"
+    for key, n in streamed.items():
+        assert key in batch, f"streamed session {key} not in batch"
+        assert batch[key] == n, (key, n, batch[key])
+    # most of the corpus precedes the watermark horizon: expect good coverage
+    assert len(streamed) >= 0.5 * len(batch), (len(streamed), len(batch))
