@@ -491,3 +491,108 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("segment", "n_occurrences", "n_docs", "rank")
     )
+
+
+_CM_P = (1 << 31) - 1  # Mersenne prime for the universal hash family
+_CM_W = 256  # sketch width (buckets per hash row)
+_CM_COEF = [(2, 12289), (6, 24578), (10, 36867), (14, 49156)]  # depth 4
+
+
+@query(
+    "q_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    h AS (
+      SELECT t, CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+                  % {_CM_P} AS h60
+      FROM tok
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS row_id, (({a} * h60 + {b}) % {_CM_P}) % {_CM_W} AS bucket,"
+          f" count(*) AS c FROM h GROUP BY 2"
+          for j, (a, b) in enumerate(_CM_COEF))}
+    ),
+    exact AS (
+      SELECT t, h60, count(*) AS exact_n FROM h GROUP BY t, h60
+    ),
+    top AS (
+      SELECT t, h60, exact_n
+      FROM (SELECT *, row_number() OVER (ORDER BY exact_n DESC, t) AS rn FROM exact)
+      WHERE rn <= 20
+    ),
+    est AS (
+      {" UNION ALL ".join(
+          f"SELECT t, exact_n, (SELECT c FROM cells WHERE row_id = {j}"
+          f" AND bucket = (({a} * top.h60 + {b}) % {_CM_P}) % {_CM_W}) AS est"
+          f" FROM top"
+          for j, (a, b) in enumerate(_CM_COEF))}
+    )
+    SELECT t AS token, exact_n,
+           CAST(min(est) AS BIGINT) AS cm_estimate,
+           CAST(min(est) - exact_n AS BIGINT) AS overestimate
+    FROM est GROUP BY t, exact_n
+    """,
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, checked against exact
+    counts for the top-20 tokens: a depth-4 × width-256 integer sketch
+    built with the same md5-derived universal hash family as the MinHash
+    ops (l17) — fully deterministic, so unlike d16's opaque HLL this
+    sketch hash-matches its oracle. CM estimates only ever OVERcount;
+    the non-negative `overestimate` column is the proof.
+
+    Scale: this is THE mergeable heavy-hitter structure — each executor
+    builds its 4×256 integer grid map-side, grids add cell-wise (the
+    groupBy here), and the fixed-size result answers any point query.
+    At 100 TB the sketch replaces a full token groupBy whenever only
+    head frequencies matter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("t"))
+    h60 = F.expr(f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {_CM_P}")
+    hashed = tok.select("t", h60.alias("h60"))
+    # sketch: per (row, bucket) cell counts — 4 passes expressed as one
+    # explode over the hash family so the scan runs once
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_id"),
+                (((a * F.col("h60") + b) % _CM_P) % _CM_W).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_CM_COEF)
+        ]
+    )
+    cells = (
+        hashed.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = hashed.groupBy("t", "h60").agg(F.count(F.lit(1)).alias("exact_n"))
+    wtop = Window.orderBy(F.col("exact_n").desc(), "t")
+    top = exact.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 20)
+    probes = top.select(
+        "t",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"),
+                        (((a * F.col("h60") + b) % _CM_P) % _CM_W).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(_CM_COEF)
+                ]
+            )
+        ).alias("rb"),
+    ).select("t", "exact_n", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy(F.col("t").alias("token"), "exact_n")
+        .agg(
+            F.min("c").cast("long").alias("cm_estimate"),
+            (F.min("c") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+    )
