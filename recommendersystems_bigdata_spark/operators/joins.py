@@ -127,7 +127,7 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c4 — full outer join: nulls materialize on both sides."""
     orders, customer = load_tables(spark, sf_dir, "orders", "customer")
     rich = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    buyers = orders.select("o_custkey").distinct()
+    buyers = orders.filter(F.col("o_totalprice") > 450000).select("o_custkey").distinct()
     return rich.join(buyers, rich.c_custkey == buyers.o_custkey, "full").select(
         F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("entity_key"),
         F.col("c_custkey").isNotNull().alias("has_customer_row"),
@@ -423,4 +423,154 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
+    )
+
+
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_M = 4096  # bits
+_BLOOM_COEF = [(3, 101), (5, 211), (7, 307)]  # k = 3 hash functions
+
+
+@query(
+    "q_bloom_prefilter",
+    oracle=f"""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_totalprice > 450000),
+    bh AS (
+      SELECT o_custkey,
+             CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) % {_BLOOM_P} AS h60
+      FROM buyers
+    ),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT (({a} * h60 + {b}) % {_BLOOM_P}) % {_BLOOM_M} AS pos FROM bh"
+            for a, b in _BLOOM_COEF)}
+      )
+    ),
+    ch AS (
+      SELECT c_custkey,
+             CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) % {_BLOOM_P} AS h60
+      FROM customer
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT c_custkey, (({a} * h60 + {b}) % {_BLOOM_P}) % {_BLOOM_M} AS pos FROM ch"
+          for a, b in _BLOOM_COEF)}
+    ),
+    verdict AS (
+      SELECT p.c_custkey,
+             count(*) FILTER (bloom.pos IS NOT NULL) = 3 AS bloom_pass
+      FROM probes p LEFT JOIN bloom ON p.pos = bloom.pos
+      GROUP BY p.c_custkey
+    ),
+    truth AS (
+      SELECT c_custkey,
+             EXISTS (SELECT 1 FROM buyers b WHERE b.o_custkey = c_custkey)
+               AS is_buyer
+      FROM customer
+    )
+    SELECT CAST(count(*) FILTER (is_buyer AND bloom_pass) AS BIGINT) AS true_pass,
+           CAST(count(*) FILTER (NOT is_buyer AND bloom_pass) AS BIGINT) AS false_pass,
+           CAST(count(*) FILTER (NOT is_buyer AND NOT bloom_pass) AS BIGINT)
+             AS true_drop,
+           CAST(count(*) FILTER (is_buyer AND NOT bloom_pass) AS BIGINT)
+             AS false_drop
+    FROM verdict JOIN truth USING (c_custkey)
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter pre-join filter: a 4096-bit / 3-hash
+    filter built over the distinct high-value buyer keys (orders above
+    450k), probed by every customer,
+    scored against exact semi-join truth — the runtime-filter pattern
+    (Spark's own InjectRuntimeFilter / DPP) made explicit and
+    engine-portable. `false_drop` MUST be 0 (Bloom never false-negatives);
+    `false_pass` is the measured false-positive cost.
+
+    Scale: the filter is ≤ m distinct positions regardless of build-side
+    size — broadcast it and the probe side filters BEFORE the shuffle,
+    which is the whole point: a 100 TB fact scan drops non-matching rows
+    at the scan for the cost of 3 integer hashes per row.
+    """
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    h = "CAST(conv(substring(md5(CAST({k} AS STRING)), 1, 15), 16, 10) AS BIGINT) % {p}"
+    buyers = orders.filter(F.col("o_totalprice") > 450000).select("o_custkey").distinct()
+    bh = buyers.selectExpr(
+        "o_custkey", h.format(k="o_custkey", p=_BLOOM_P) + " AS h60"
+    )
+    positions = F.explode(
+        F.array(*[((a * F.col("h60") + b) % _BLOOM_P) % _BLOOM_M for a, b in _BLOOM_COEF])
+    )
+    bloom = bh.select(positions.alias("pos")).distinct()
+    ch = customer.selectExpr("c_custkey", h.format(k="c_custkey", p=_BLOOM_P) + " AS h60")
+    probes = ch.select("c_custkey", positions.alias("pos"))
+    verdict = (
+        probes.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == 3).alias("bloom_pass"))
+    )
+    truth = customer.join(
+        buyers.withColumnRenamed("o_custkey", "c_custkey").withColumn("b", F.lit(1)),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", F.col("b").isNotNull().alias("is_buyer"))
+    both = verdict.join(truth, "c_custkey")
+    flag = lambda c: F.sum(c.cast("int")).cast("long")
+    return both.agg(
+        flag(F.col("is_buyer") & F.col("bloom_pass")).alias("true_pass"),
+        flag(~F.col("is_buyer") & F.col("bloom_pass")).alias("false_pass"),
+        flag(~F.col("is_buyer") & ~F.col("bloom_pass")).alias("true_drop"),
+        flag(F.col("is_buyer") & ~F.col("bloom_pass")).alias("false_drop"),
+    )
+
+
+@query(
+    "q_tpch_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders for
+    one market segment as of a date — the classic 3-way join + agg +
+    top-k every warehouse is benchmarked with.
+
+    Scale: customer filters to one segment then broadcasts; lineitem and
+    orders filters push to the scans; the top-10 lowers to
+    TakeOrderedAndProject — the fact table shuffles once on the
+    order key for the aggregate.
+    """
+    customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1995-03-15").cast("date")
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate").cast("date") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate").cast("date") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
