@@ -868,3 +868,176 @@ def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_orders_x100"),
     )
+
+
+@query(
+    "q_drift_chi2",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(CAST(min(ts) AS TIMESTAMP))
+             + (epoch_us(CAST(max(ts) AS TIMESTAMP))
+                - epoch_us(CAST(min(ts) AS TIMESTAMP))) // 2 AS mid_us
+      FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid_us
+                  THEN 'first' ELSE 'second' END AS half
+      FROM events, mid
+    ),
+    cells AS (
+      SELECT event_type, half, count(*) AS o FROM halves GROUP BY event_type, half
+    ),
+    totals AS (
+      SELECT c.event_type, c.half, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS row_t,
+             sum(c.o) OVER (PARTITION BY c.half) AS col_t,
+             sum(c.o) OVER () AS grand
+      FROM cells c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(floor(
+             (o - CAST(row_t * col_t AS DOUBLE) / grand)
+             * (o - CAST(row_t * col_t AS DOUBLE) / grand)
+             / (CAST(row_t * col_t AS DOUBLE) / grand) * 1000000) AS BIGINT))
+             AS BIGINT) AS chi2_x1e6
+    FROM totals
+    """,
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: χ² statistic of the event-type mix,
+    first half of the time range vs second — the temporal drift check a
+    pipeline runs before trusting a model trained on last month's mix.
+
+    Every χ² term is a single-IEEE-op chain from exact integer counts
+    (observed, row/col/grand totals), floor-scaled to an integer BEFORE
+    the sum — so no double summation order anywhere and the statistic
+    hash-matches exactly.
+
+    Scale: one contingency-table aggregate (types × 2 cells) carries the
+    whole corpus; the window totals run over that tiny table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = ev.agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("lo"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("hi"),
+    )
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            < F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2),
+            "first",
+        )
+        .otherwise("second")
+        .alias("half"),
+    )
+    cells = halves.groupBy("event_type", "half").agg(F.count(F.lit(1)).alias("o"))
+    totals = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("half")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    e = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("grand")
+    term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1_000_000).cast("long")
+    return totals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(term).cast("long").alias("chi2_x1e6"),
+    )
+
+
+@query(
+    "q_ab_test_proportions",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 = 0 AS in_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_p
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT count(*) AS n_users, CAST(sum(n_p) AS BIGINT) AS total_p FROM per_user
+    ),
+    assigned AS (
+      SELECT in_a,
+             CASE WHEN n_p * n_users > total_p THEN 1 ELSE 0 END AS converted
+      FROM per_user, tot
+    ),
+    arms AS (
+      SELECT CAST(count(*) FILTER (in_a) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS n_b,
+             CAST(sum(converted) FILTER (in_a) AS BIGINT) AS c_a,
+             CAST(sum(converted) FILTER (NOT in_a) AS BIGINT) AS c_b
+      FROM assigned
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                      * 1000000) AS BIGINT) AS uplift_x1e6,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE CAST(floor(
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)))
+             * 10000) AS BIGINT) END AS zstat_x1e4
+    FROM arms
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users split deterministically by key
+    parity, per-user purchase conversion compared with the pooled
+    z-statistic — the experimentation readout every growth team runs.
+
+    All inputs are exact integers; uplift and z are single-IEEE-op
+    chains floor-scaled at the end, so the statistic hash-matches.
+
+    Scale: one per-user aggregate (shuffle on user_id), then a 1-row
+    reduction — assignment is a map-side expression (hash-mod in
+    production so arms stay stable under resharding, cf. l20).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_p")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n_p").cast("long").alias("total_p")
+    )
+    assigned = per_user.crossJoin(F.broadcast(tot)).select(
+        (F.col("user_id") % 2 == 0).alias("in_a"),
+        F.when(F.col("n_p") * F.col("n_users") > F.col("total_p"), 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = assigned.agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("in_a")).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted")).otherwise(0)).cast("long").alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * ((F.col("n_a") + F.col("n_b")).cast("double") / (F.col("n_a").cast("double") * F.col("n_b")))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.floor((pa - pb) * 1_000_000).cast("long").alias("uplift_x1e6"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") > 0)
+            & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+            F.floor((pa - pb) / se * 10_000),
+        )
+        .cast("long")
+        .alias("zstat_x1e4"),
+    )
