@@ -241,3 +241,49 @@ def test_apply_deletes_broadcast_anti_join(q):
     for the anti-join."""
     plan = physical_plan(q("q_apply_deletes"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_tpch_classics_broadcast_dims_and_take_ordered(q):
+    """Q3/Q10 must lower their top-k to TakeOrderedAndProject and
+    broadcast their dimension sides; Q5's six-way join must broadcast
+    supplier/nation/region (no shuffle for any dim)."""
+    for key in ("q_tpch_q3_shipping", "q_tpch_q10_returns"):
+        plan = physical_plan(q(key))
+        assert "TakeOrderedAndProject" in plan, f"{key}:\n{plan}"
+        assert "BroadcastHashJoin" in plan, f"{key}:\n{plan}"
+    plan = physical_plan(q("q_tpch_q5_local_volume"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_date_filters_push_to_scan(q):
+    """the order-date range predicates must reach the parquet scan as
+    PushedFilters, not run as post-scan filters only."""
+    plan = physical_plan(q("q_tpch_q10_returns"))
+    assert "PushedFilters: [" in plan, plan
+
+
+def test_bloom_positions_broadcast(q):
+    """the Bloom position set must broadcast into the probe join — the
+    entire point of the pattern is that the probe side never shuffles."""
+    plan = physical_plan(q("q_bloom_prefilter"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_countmin_sketch_cells_broadcast(q):
+    """the 4×256 sketch grid joins the probes via broadcast; the token
+    scan aggregates with map-side partials (partial+final HashAggregate)."""
+    plan = physical_plan(q("q_countmin_heavy_hitters"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_drift_contingency_is_tiny_window(q):
+    """the chi-square window totals must run over the aggregated
+    contingency cells, never the raw events — no window operator may
+    consume an un-aggregated events-sized input."""
+    df = q("q_drift_chi2")
+    plan = physical_plan(df)
+    # windows appear after the cells aggregate: a HashAggregate must feed
+    # the Window (appear below it in the top-down plan text)
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert plan.index("Window") < plan.rindex("HashAggregate"), plan
