@@ -468,3 +468,44 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("vec_id", "label", "sqdist_x1e6", "rank")
     )
+
+
+@query(
+    "q_embedding_truncation",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq64,
+             list_sum(list_transform(list_slice(embedding, 1, 16),
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq16
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(floor(sqrt(sq16) / sqrt(sq64) * 1000000) AS BIGINT)
+             AS retention_x1e6
+    FROM norms
+    """,
+)
+def q_embedding_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: per vector, the fraction of
+    L2 mass retained by the first 16 of 64 dimensions (= cosine between
+    the vector and its zero-padded truncation) — the measurement that
+    decides whether a shortened embedding is safe for the cheap ANN tier
+    (k10/k10b) with full-dim re-rank.
+
+    Both norms are list-ordered folds and the ratio is one sqrt+divide
+    chain, so the floor-scaled value hash-matches. Scale: map-only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = lambda col: F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    retention = F.sqrt(sq(F.slice("embedding", 1, 16))) / F.sqrt(sq(F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.floor(retention * 1_000_000).cast("long").alias("retention_x1e6"),
+    )

@@ -686,3 +686,56 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers — the classic
+    aggregate-derived IN-subquery that Catalyst rewrites to a semi-join.
+
+    Scale: the HAVING pre-aggregate runs once over lineitem with map-side
+    partials and produces a small key set; that set semi-joins the fact
+    tables (broadcast when under threshold), so the second lineitem pass
+    only aggregates the surviving orders.
+    """
+    customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+            F.col("o_orderkey") == F.col("big_key"),
+            "left_semi",
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
