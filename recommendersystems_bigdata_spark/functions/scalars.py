@@ -232,8 +232,8 @@ def q_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-           list_transform(list_slice(embedding, 1, 4),
-                          x -> round(CAST(x AS DOUBLE), 6)) AS first4,
+           array_to_string(list_transform(list_slice(embedding, 1, 4),
+                          x -> printf('%.6f', CAST(x AS DOUBLE))), '|') AS first4,
            (len(embedding) = 64) AS is_64d
     FROM embeddings
     """,
@@ -250,9 +250,13 @@ def q_arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)).alias(
-            "first4"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.format_string("%.6f", x.cast("double")),
+            ),
+            "|",
+        ).alias("first4"),
         (F.size("embedding") == 64).alias("is_64d"),
     )
 

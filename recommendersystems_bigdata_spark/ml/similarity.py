@@ -218,7 +218,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM exploded GROUP BY label, pos
     )
     SELECT label,
-           list(round(m, 6) ORDER BY pos) AS centroid,
+           array_to_string(list(printf('%.6f', m) ORDER BY pos), '|') AS centroid,
            CAST((SELECT count(*) FROM embeddings e WHERE e.label = means.label) AS BIGINT) AS n_vectors
     FROM means
     GROUP BY label
@@ -235,8 +235,12 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vec_id").alias("n_vec"),
     )
     return means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s.m, 6)
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.format_string("%.6f", s.m),
+            ),
+            "|",
         ).alias("centroid"),
         F.max("n_vec").cast("long").alias("n_vectors"),
     )

@@ -277,20 +277,21 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            count(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d11 — set aggregation; sorted for order-insensitive hashing
-    (hash hygiene rule 2: never emit raw collect_list/set order)."""
+    """d11 — set aggregation; sorted then joined to a scalar string
+    (hash hygiene rule 2: never emit raw collect_list/set order, and the
+    driver canonicalizer cannot sort/hash array-typed columns at all)."""
     return (
         load_table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )

@@ -120,7 +120,8 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            (c.c_custkey IS NOT NULL) AS has_customer_row,
            (o.o_custkey IS NOT NULL) AS has_orders
     FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
-    FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+    FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
     """,
 )
 def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
