@@ -69,16 +69,21 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_join_broadcast", oracle=_STAR_ORACLE)
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """c7 — same star join with *explicit* broadcast hints on every dim.
+    """c7 — same star join with *explicit* broadcast hints on the dims.
 
     Same result as c2 (the hint is physical-only); at 100 TB the hints
-    guarantee the dims never shuffle even if size stats are stale.
+    guarantee the true dims (customer/nation/region) never shuffle even if
+    size stats are stale. `orders` is a FACT table (~1.5B rows at 100 TB)
+    and deliberately carries NO hint: the orders⋈lineitem leg must stay
+    sort-merge/shuffled-hash (or bucketed — see tests/test_bucketing.py);
+    broadcasting it would OOM the driver at scale. Plan shape is asserted
+    in tests/test_plans.py.
     """
     li, orders, customer, nation, region = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

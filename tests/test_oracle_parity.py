@@ -24,6 +24,9 @@ def test_oracle_parity(spark, sf_dir, key):
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_runs(spark, sf_dir, key):
+    """Rows-only keys must produce actual rows — `count() >= 0` is vacuous
+    and let 3 zero-emitting streaming queries pass for two rounds. Every
+    rows-only operator has non-empty output on the sf0.001 corpus."""
     df = registry.QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{key} produced 0 rows"
     assert len(df.schema.fields) > 0

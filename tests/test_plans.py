@@ -49,9 +49,35 @@ def test_partial_then_final_aggregate(q):
     assert "Exchange" in plan
 
 
-def test_broadcast_join_on_dims(q):
-    plan = physical_plan(q("q_join_broadcast"))
-    assert "BroadcastHashJoin" in plan
+def test_broadcast_join_on_dims(spark, q):
+    """c7's hints must broadcast the three true dims while the
+    orders⋈lineitem fact–fact leg stays a shuffle join (sort-merge or
+    shuffled-hash) — broadcasting a fact table is a driver OOM at 100 TB.
+
+    Size-based auto-broadcast is disabled for the assertion: at sf0.001
+    AQE would broadcast *everything* by size estimate, masking which sides
+    carry an explicit hint. With thresholds at -1, only hinted sides
+    broadcast — exactly the behavior a stale-stats 100 TB run gets.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = q("q_join_broadcast")
+        df.collect()  # finalize AQE so join strategies are settled
+        plan = physical_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
 
 
 def test_semi_and_anti_join_strategies(q):

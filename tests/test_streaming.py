@@ -163,6 +163,38 @@ def test_foreach_batch_sink_delivers_all_rows(spark, sf_dir):
     assert total == src, (total, src)
 
 
+def test_no_streaming_query_emits_zero_rows(spark, sf_dir):
+    """Watermark-advance regression guard: every registered streaming query
+    must emit >0 rows on the sf0.001 corpus. A single-micro-batch source
+    (or any future source change that stops the watermark advancing between
+    batches) silently turns every append-mode window/join/session query
+    into an empty result — the exact bug class rounds 1–3 shipped. The
+    chunked source (stream_queries._chunked_events_dir) must keep at least
+    N_STREAM_CHUNKS micro-batches flowing."""
+    from recommendersystems_bigdata_spark import registry
+    from recommendersystems_bigdata_spark.streaming import stream_queries as sq
+
+    registry.load_all()
+    assert sq.N_STREAM_CHUNKS > 1, "chunked source degenerated to one micro-batch"
+    stream_keys = [k for k in registry.QUERIES if k.startswith("q_stream_")]
+    assert len(stream_keys) >= 6, stream_keys
+    for key in stream_keys:
+        n = registry.QUERIES[key](spark, sf_dir).count()
+        assert n > 0, f"{key} emitted 0 rows — watermark never advanced?"
+
+
+def test_stream_dedup_matches_batch_twin(spark, sf_dir):
+    """q_stream_dedup's deterministic keep-first dedup must yield exactly
+    one row per distinct (user_id, event_type) — the same cardinality a
+    watermarked dropDuplicates stream converges to."""
+    from recommendersystems_bigdata_spark import registry
+
+    registry.load_all()
+    n_dedup = registry.QUERIES["q_stream_dedup"](spark, sf_dir).count()
+    ev = load_table(spark, sf_dir, "events")
+    assert n_dedup == ev.select("user_id", "event_type").distinct().count()
+
+
 def test_stream_session_window_subset_of_batch(spark, sf_dir):
     """streaming sessions (closed before the final watermark) must agree
     exactly — same start, same event count — with the batch session
