@@ -28,7 +28,9 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 
 # One per engine subsystem (BASELINE.md): scan+hash-agg, multi-way join,
 # window top-k, vector similarity, sessionization, text explode+agg,
-# recommender feature build.
+# recommender feature build — plus the LLM-pipeline surface (minhash
+# signature build, banded LSH dedup join, text quality scoring) so the
+# mandated extension operators carry a wall-time budget too.
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -37,6 +39,9 @@ HEADLINE = (
     "q_session_window",
     "q_str_split_explode",
     "q_interactions",
+    "q_minhash_signatures",
+    "q_dedup_lsh_join",
+    "q_text_quality",
 )
 
 RUNS_PER_QUERY = 3

@@ -577,13 +577,21 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(min((7 * h60 + 31676) % {_MINHASH_P}) AS VARCHAR)) AS band1
       FROM h GROUP BY doc_id
     ),
+    s0 AS (
+      SELECT doc_id, band0 FROM sig
+      WHERE band0 IN (SELECT band0 FROM sig GROUP BY band0 HAVING count(*) <= 256)
+    ),
+    s1 AS (
+      SELECT doc_id, band1 FROM sig
+      WHERE band1 IN (SELECT band1 FROM sig GROUP BY band1 HAVING count(*) <= 256)
+    ),
     cand AS (
       SELECT DISTINCT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+        FROM s0 a JOIN s0 b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
         UNION ALL
         SELECT a.doc_id, b.doc_id
-        FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+        FROM s1 a JOIN s1 b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
@@ -614,17 +622,35 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike MLlib's MinHashLSH (k12, rows-only), every stage here is
     integer/md5 arithmetic, so the whole pipeline hash-matches the
-    oracle. Scale: band buckets are the unit of skew — production adds a
-    bucket-size cap (drop/sample buckets above M members, they're
-    boilerplate) before pair expansion; the jaccard ratio is exact
-    integers floor-scaled, immune to float summation order.
+    oracle. Scale: band buckets are the unit of skew, so buckets above
+    BUCKET_CAP members are DROPPED before pair expansion — a degenerate
+    bucket means the band signature stopped discriminating (boilerplate /
+    shared-template docs), and expanding it is quadratic in its size for
+    near-zero information (this corpus: one 3,890-doc bucket at sf0.1
+    produced 7.6M of 9.2M candidates and 90% of the 72 s wall time).
+    Docs dropped from one band still pair through their other band;
+    mega-cluster membership itself is exact-dedup's (d1) and
+    clustering's (l4) job, not the pairwise verifier's. The jaccard
+    ratio is exact integers floor-scaled, immune to float summation
+    order.
     """
+    BUCKET_CAP = 256
     sig = q_minhash_signatures(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    pair = lambda band: (
-        a.join(b, (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+
+    def pair(band):
+        ok = (
+            sig.groupBy(band)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= BUCKET_CAP)
+            .select(band)
+        )
+        s = sig.select("doc_id", band).join(ok, band)
+        a, b = s.alias("a"), s.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
     cand = pair("band0").unionByName(pair("band1")).distinct()
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(

@@ -108,22 +108,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k10 — approximate nearest neighbors via BucketedRandomProjectionLSH
     (rows-only: bucket boundaries are model-internal).
 
-    Random-hyperplane buckets turn the all-pairs problem into per-bucket
-    joins — the standard Spark ANN scale path. Euclidean distance on
-    unnormalized vectors here; cosine recall vs q_cosine_topk is measured
-    in tests/test_ml.py on L2-normalized copies.
+    Random-projection buckets turn the all-pairs problem into per-bucket
+    joins — the standard Spark ANN scale path. Inputs are L2-NORMALIZED
+    first: on unit vectors L2 distance is monotone in cosine
+    (d² = 2 − 2·cos), so the L2 top-5 IS the cosine top-5 and the join
+    radius doubles as a cosine floor (r=1.3 ⇔ cos ≥ 0.155). Tuned on the
+    corpus to recall 1.0 vs the exact twin while generating ~5% of the
+    all-pairs candidates (tests/test_ml.py gates ≥0.8).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    unit = F.transform(
+        "embedding", lambda x: x.cast("double") / F.sqrt(F.aggregate(
+            F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda a, b: a + b,
+        ))
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("features")
+        "vec_id", array_to_vector(unit).alias("features")
     )
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=0.15, numHashTables=10, seed=42
     ).fit(emb)
     queries = emb.filter(F.col("vec_id") < 20)
-    pairs = lsh.approxSimilarityJoin(queries, emb, 10.0, distCol="l2_dist")
+    pairs = lsh.approxSimilarityJoin(queries, emb, 1.3, distCol="l2_dist")
     w = Window.partitionBy("query_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
     return (
         pairs.select(
@@ -162,7 +171,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from recommendersystems_bigdata_spark.ml.vectors import cosine
 
-    nlist, nprobe, k = 16, 6, 5
+    # nprobe tuned on the corpus: its embeddings are near-random (exact
+    # top-5 neighbors sit at cos ≈ 0.3), so the coarse quantizer carries
+    # little signal and recall@5 needs 10 of 16 cells probed (0.89 measured;
+    # 6 → 0.67). Real embedding corpora cluster far more tightly and run at
+    # nprobe/nlist ratios of 1–5%; the recall/nprobe trade is data-dependent
+    # and gated in tests/test_ml.py at ≥ 0.8.
+    nlist, nprobe, k = 16, 10, 5
     emb = load_table(spark, sf_dir, "embeddings")
     # L2-normalize before quantizing: on unit vectors Euclidean distance is
     # monotone in cosine, so the Euclidean KMeans quantizer respects the

@@ -26,32 +26,31 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_exact_cosine(spark, sf_dir):
-    """BucketedRandomProjectionLSH top-5 (L2) vs exact cosine top-5.
+    """BucketedRandomProjectionLSH top-5 vs exact cosine top-5.
 
-    L2-on-unnormalized vs cosine are different metrics, so the floor is
-    modest — but random-hyperplane buckets must still recover a meaningful
-    share of true neighbors for the 20 query vectors."""
+    Inputs are L2-normalized inside the query, so L2 ordering equals
+    cosine ordering and the index must recover nearly all true neighbors
+    (measured 1.0 at bucketLength=0.15 / 10 tables / radius 1.3)."""
     exact = registry.QUERIES["q_cosine_topk"](spark, sf_dir)
     approx = registry.QUERIES["q_ann_lsh"](spark, sf_dir)
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(exact_pairs) == 100  # 20 queries × 5
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.2, f"ANN recall {recall:.3f} < 0.2"
+    assert recall >= 0.8, f"ANN recall {recall:.3f} < 0.8"
 
 
 def test_ann_ivf_recall_vs_exact_cosine(spark, sf_dir):
-    """IVF (nprobe=6 of nlist=16) must recover most exact cosine top-5
-    neighbors — same metric on both sides, so the floor is higher than the
-    LSH one. Misses can only come from a true neighbor living in an
-    unprobed cluster."""
+    """IVF (nprobe=10 of nlist=16) must recover most exact cosine top-5
+    neighbors — misses can only come from a true neighbor living in an
+    unprobed cluster (measured 0.89 on this near-random corpus)."""
     exact = registry.QUERIES["q_cosine_topk"](spark, sf_dir)
     approx = registry.QUERIES["q_ann_ivf"](spark, sf_dir)
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(exact_pairs) == 100  # 20 queries × 5
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
 
 
 def test_simhash_near_dup_consistency(spark, sf_dir):
