@@ -270,9 +270,13 @@ def q_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = pipe.fit(docs)
     out = model.transform(docs)
 
-    # VectorUDT can't cross the Arrow boundary (mapInPandas rejects UDTs);
-    # a row-at-a-time UDF handles the sparse vector directly. Off the hot
-    # path by design — this query is a feature-pipeline check, not a bench.
+    # VectorUDT can't cross the Arrow boundary (mapInPandas rejects UDTs),
+    # and a JVM-side reconstruction was measured NOT equivalent: MLlib's
+    # HashingTF buckets via Murmur3 hashUnsafeBytes2 (Scala-collection-
+    # consistent tail mixing), while F.hash is catalyst hashUnsafeBytes —
+    # same nnz, different bucket ids on every doc. So a row-at-a-time UDF
+    # handles the sparse vector directly. Off the hot path by design —
+    # this query is a feature-pipeline check, not a bench.
     from pyspark.sql.types import LongType
 
     def nnz_of(v):
