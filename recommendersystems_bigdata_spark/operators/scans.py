@@ -122,13 +122,23 @@ def q_io_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum(csv_df, "csv").unionByName(checksum(json_df, "json"))
 
 
-@query("q_sink_partitioned")
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
 def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """a5 — partitioned parquet sink + partition-pruned read-back (rows-only).
+    """a5 — partitioned parquet sink + partition-pruned read-back.
 
     Writes ``events`` partitioned by ``event_type``; the read-back filter on
     the partition column prunes directories (PartitionFilters in the plan) —
-    the layout that makes 100 TB event scans cheap.
+    the layout that makes 100 TB event scans cheap. The round-trip must be
+    lossless, so the result hash-matches the oracle computed directly on the
+    source table (write → read → aggregate ≡ aggregate).
     """
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="rsbd_sink_")

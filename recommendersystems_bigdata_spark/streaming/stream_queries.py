@@ -129,10 +129,24 @@ def q_stream_watermark_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "append")
 
 
-@query("q_stream_static_join")
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i6 — stream–static join: enrich the event stream with the customer
-    dim (static side re-read per micro-batch, broadcast under threshold)."""
+    dim (static side re-read per micro-batch, broadcast under threshold).
+
+    Complete output mode over an availableNow drain converges to the batch
+    aggregate over the whole corpus, so the streamed result hash-matches
+    the plain SQL oracle — the streaming runtime is inside the verified
+    path, not just rows-only."""
     ev = read_events_stream(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
@@ -145,11 +159,24 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-@query("q_stream_stream_join")
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT l.event_id AS l_id, l.user_id AS l_user, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_id <> l.event_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval self-join: for each event, count the same
     user's events landing within the following hour (click→follow-up
-    attribution shape).
+    attribution shape). Inner-join matches emit as they are found and the
+    ts-ordered chunked source never evicts a row before its match horizon
+    passes, so the drained stream equals the batch join exactly — the
+    oracle is the plain SQL interval self-join.
 
     Both sides carry a 1-hour watermark and the join condition bounds
     `r.ts` to [l.ts, l.ts + 1h], so each side's join state is evicted once
