@@ -106,15 +106,27 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("q_stream_watermark_tumble")
+@query(
+    "q_stream_watermark_tumble",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+          <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_watermark_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i5 — watermarked tumbling aggregate over the event stream.
 
     1-day watermark + 1-day windows in append mode: a window emits only
     once the watermark passes its end, and state for closed windows is
-    evicted — bounded state at any volume. Rows-only check (the streaming
-    runtime, not the arithmetic, is what's under test; the arithmetic twin
-    is q_tumble_window).
+    evicted — bounded state at any volume. The emitted set is exactly the
+    windows whose end precedes the final watermark (max ts − 1 day) —
+    independent of micro-batch boundaries, because the final no-data batch
+    flushes everything the last watermark update closed — so the result is
+    hash-verified against the batch SQL with that closure predicate.
     """
     ev = read_events_stream(spark, sf_dir)
     agg = (
@@ -306,16 +318,46 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counted, "update")
 
 
-@query("q_stream_session_window")
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                                  OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    s AS (
+      SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end, count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events FROM s
+    WHERE session_end + INTERVAL 30 MINUTE
+          <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY FROM events)
+    """,
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i3 (streaming form) — session windows under a watermark: per-user
     sessions with a 30-minute gap computed incrementally. Session state
     MERGES as events arrive (unlike fixed windows), and a session only
     emits once the watermark passes its close — the canonical stateful-
-    merging-window workload. Sessions still open at the watermark horizon
-    stay in state, so the drained result is the closed-session subset of
-    the batch twin (q_session_window); tests/test_streaming.py asserts
-    the containment.
+    merging-window workload. The emitted set is exactly the sessions whose
+    end (last event + 30 min) precedes the final watermark (max ts − 1
+    day) — chunk-boundary-independent — so it hash-verifies against the
+    gaps-and-islands SQL with that closure predicate; containment vs the
+    batch twin is additionally asserted in tests/test_streaming.py.
 
     Scale: state is one (start, end, count) row per open session per
     user — eviction tracks the watermark, so state size is bounded by
