@@ -638,13 +638,16 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = q_minhash_signatures(spark, sf_dir)
 
     def pair(band):
-        ok = (
-            sig.groupBy(band)
-            .agg(F.count(F.lit(1)).alias("_bn"))
+        # bucket-size gate via a window count: ONE shuffle on the band key,
+        # whose partitioning the self-join below then reuses (vs. a
+        # groupBy+join gate, which shuffles the same key twice).
+        w = Window.partitionBy(band)
+        s = (
+            sig.select("doc_id", band)
+            .withColumn("_bn", F.count(F.lit(1)).over(w))
             .filter(F.col("_bn") <= BUCKET_CAP)
-            .select(band)
+            .drop("_bn")
         )
-        s = sig.select("doc_id", band).join(ok, band)
         a, b = s.alias("a"), s.alias("b")
         return a.join(
             b,
