@@ -635,6 +635,13 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.
     """
     BUCKET_CAP = 256
+    # The signature subtree feeds four join branches (a/b × band0/band1)
+    # and recomputes in each (no Catalyst subtree reuse; 16 HashAggregates
+    # in the plan). Measured at sf0.1 the recompute is CHEAPER than
+    # materializing (localCheckpoint: 1.8–2.3 s vs 1.5 s) because the
+    # build stays fused in codegen. At 100 TB the trade reverses —
+    # signatures are written once as a table and every dedup pass reads
+    # them — which is a storage-layout decision, not a query-plan one.
     sig = q_minhash_signatures(spark, sf_dir)
 
     def pair(band):
