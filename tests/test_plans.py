@@ -217,6 +217,17 @@ def test_lm_score_vocab_broadcasts(q):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_ann_candidate_generation_stays_bucketed(q):
+    """both ANN paths must generate candidates via equi joins: the LSH
+    similarity join keys on hash-table entries and the IVF probe join
+    broadcasts the bounded (query × nprobe) table — a nested-loop join in
+    either means candidate generation degenerated to all-pairs."""
+    assert "BroadcastNestedLoopJoin" not in physical_plan(q("q_ann_lsh"))
+    ivf_plan = physical_plan(q("q_ann_ivf"))
+    assert "BroadcastNestedLoopJoin" not in ivf_plan
+    assert "BroadcastHashJoin" in ivf_plan, ivf_plan
+
+
 def test_lsh_join_avoids_nested_loop(q):
     """the LSH candidate join must stay an equi hash/sort-merge join on
     the band keys — a BroadcastNestedLoopJoin here would mean the
