@@ -452,9 +452,10 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_graph_triangles",
     oracle="""
-    WITH pairs AS (
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ),
@@ -486,13 +487,29 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders pairwise) — the community-density signal item-graph
     recommenders use, and the canonical multi-way-join scale pattern.
 
-    Edges are canonically ordered (pa < pb), so each triangle enumerates
-    exactly once via the e⋈e⋈e chain — the standard trick that keeps the
-    join output linear in triangles instead of 6× overcounted. All counts
-    integer-exact. At 100 TB the co-occurrence build dominates (fact
-    self-join per order basket); edges and triangles shuffle on part id.
+    Scale design (the two standard triangle-counting defenses):
+
+    * **distinct-first** — baskets are distinct-ed to (order, part) before
+      the self-join, so duplicate lineitems of the same part in one order
+      can't multiply pair counts (same pattern as q_basket_lift); `co` is
+      exactly "number of orders containing both parts".
+    * **degree-ordered orientation** — edges are directed from the
+      (degree, id)-smaller endpoint to the larger before the wedge join,
+      so every hub's wedge fan-out is C(out-degree, 2) with out-degree
+      bounded by neighbors of HIGHER degree. This is the classic
+      O(m^1.5)-wedge guarantee: an id-ordered orientation lets one hub
+      with d neighbors of larger id produce O(d²) wedges, while the
+      degree ordering caps total wedges at O(m^1.5) regardless of skew —
+      the difference between a survivable and an exploding plan on a
+      power-law co-occurrence graph at 100 TB. The orientation is a total
+      order, hence acyclic, hence each triangle has exactly one node with
+      two out-edges inside it: enumerated exactly once, no 6× overcount.
+
+    All counts integer-exact. At 100 TB the co-occurrence build dominates
+    (fact self-join per order basket); edges/wedges shuffle on part id.
     """
-    (li,) = load_tables(spark, sf_dir, "lineitem")
+    (raw,) = load_tables(spark, sf_dir, "lineitem")
+    li = raw.select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -510,11 +527,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # Orient each undirected edge from the (degree, id)-smaller endpoint to
+    # the larger; keep the head's rank so a wedge's two out-neighbors can be
+    # canonically ordered without re-joining deg.
+    da = deg.select(F.col("part").alias("pa"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("part").alias("pb"), F.col("degree").alias("deg_b"))
+    ranked = e.join(da, "pa").join(db, "pb")
+    a_first = F.struct(F.col("deg_a"), F.col("pa")) < F.struct(F.col("deg_b"), F.col("pb"))
+    directed = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    ).localCheckpoint()
+    d1, d2, d3 = directed.alias("d1"), directed.alias("d2"), directed.alias("d3")
     tri = (
-        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
-        .join(e3, (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")))
-        .select(F.col("e1.pa").alias("a"), F.col("e1.pb").alias("b"), F.col("e2.pb").alias("c"))
+        d1.join(
+            d2,
+            (F.col("d1.src") == F.col("d2.src"))
+            & (
+                F.struct(F.col("d1.dst_deg"), F.col("d1.dst"))
+                < F.struct(F.col("d2.dst_deg"), F.col("d2.dst"))
+            ),
+        )
+        .join(d3, (F.col("d3.src") == F.col("d1.dst")) & (F.col("d3.dst") == F.col("d2.dst")))
+        .select(F.col("d1.src").alias("a"), F.col("d1.dst").alias("b"), F.col("d2.dst").alias("c"))
     )
     tri_per_node = (
         tri.select(F.col("a").alias("part"))
