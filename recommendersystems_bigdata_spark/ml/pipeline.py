@@ -168,8 +168,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gd AS (
       SELECT DISTINCT doc_id, unnest({_SQL_3GRAMS}) AS gram FROM documents
     ),
-    ev AS (SELECT doc_id AS eval_id, gram FROM gd WHERE doc_id % 50 = 0),
-    tr AS (SELECT doc_id, gram FROM gd WHERE doc_id % 50 <> 0)
+    ev AS (SELECT doc_id AS eval_id, gram FROM gd
+           WHERE doc_id % 50 = 0 AND doc_id < 500),
+    tr AS (SELECT doc_id, gram FROM gd
+           WHERE NOT (doc_id % 50 = 0 AND doc_id < 500))
     SELECT tr.doc_id,
            CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_contaminated_grams,
            CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit
@@ -179,12 +181,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: token-3-gram overlap between every
-    training doc and a held-out eval set (docs with doc_id % 50 == 0).
+    training doc and a held-out eval set (docs with doc_id % 50 == 0 AND
+    doc_id < 500 — a FIXED 10-doc benchmark at every scale factor).
 
-    The eval side is tiny by construction (that's true at 100 TB too —
-    benchmarks are small), so its distinct-gram table broadcasts and the
-    corpus side never shuffles; per-doc overlap counts come out of one
-    partial-aggregated groupBy."""
+    The id cap is the operationally-correct shape: real benchmark sets are
+    fixed-size while the corpus grows, so the screen must be corpus-linear.
+    (A %-only eval set grows with the corpus and was measured 25x at 10x
+    data — SCALE.md's contamination entry.) The fixed eval side's
+    distinct-gram table broadcasts and the corpus side never shuffles;
+    per-doc overlap counts come out of one partial-aggregated groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -197,10 +202,9 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    ev = grams.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_id"), "gram"
-    )
-    tr = grams.filter(F.col("doc_id") % 50 != 0)
+    is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500)
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
+    tr = grams.filter(~is_eval)
     return (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
