@@ -324,3 +324,14 @@ def test_drift_contingency_is_tiny_window(q):
     # the Window (appear below it in the top-down plan text)
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert plan.index("Window") < plan.rindex("HashAggregate"), plan
+
+
+def test_triangle_wedge_joins_stay_equi(q):
+    """the degree-oriented triangle enumeration must hash-join: the wedge
+    join is equi on src (the (deg,id)-order filter is a post-condition)
+    and the closing-edge join is equi on (src, dst). A nested-loop
+    anywhere means enumeration degenerated to all-pairs — the exact skew
+    hazard the degree orientation exists to prevent."""
+    plan = physical_plan(q("q_graph_triangles"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
