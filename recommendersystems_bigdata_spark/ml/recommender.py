@@ -72,11 +72,12 @@ def q_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+    # limit-first (TakeOrderedAndProject): only 20 rows reach the ranking
+    # window, never the full item catalog.
+    top = pop.orderBy(F.col("n_buyers").desc(), F.col("item_id").asc()).limit(20)
     w = Window.orderBy(F.col("n_buyers").desc(), F.col("item_id").asc())
-    return (
-        pop.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("item_id", "n_buyers", "total_qty", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "item_id", "n_buyers", "total_qty", "rank"
     )
 
 
@@ -357,12 +358,15 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split_items(F.col("rn") > 1)
     truth = split_items(F.col("rn") == 1)
 
+    # limit-first (TakeOrderedAndProject): the popularity list is capped at
+    # 100 before the ranking window, so no full-catalog single-partition pass.
     pop_w = Window.orderBy(F.col("cnt").desc(), F.col("item_id").asc())
     pop = (
         train.groupBy("item_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item_id").asc())
+        .limit(100)
         .withColumn("pop_rank", F.row_number().over(pop_w))
-        .filter(F.col("pop_rank") <= 100)
         .select("item_id", "pop_rank")
     )
     users = truth.select("user_id").distinct()
@@ -701,14 +705,16 @@ def q_user_user_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("co").cast("double") * 1_000_000
         / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
     ).cast("long")
-    w = Window.orderBy(F.col("cosine_x1e6").desc(), "user_a", "user_b")
-    return (
+    scored = (
         pairs.join(ua, "user_a")
         .join(ub, "user_b")
         .select("user_a", "user_b", "co", cos.alias("cosine_x1e6"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
     )
+    # limit-first (TakeOrderedAndProject): only 50 rows reach the ranking
+    # window — the pair table itself grows quadratically in dense blocks.
+    top = scored.orderBy(F.col("cosine_x1e6").desc(), "user_a", "user_b").limit(50)
+    w = Window.orderBy(F.col("cosine_x1e6").desc(), "user_a", "user_b")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 @query(

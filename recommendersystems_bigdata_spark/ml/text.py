@@ -378,11 +378,13 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # limit-first: sort+limit lowers to TakeOrderedAndProject (per-partition
+    # local top-20, driver merge) — the rank window then sees 20 rows, not
+    # the whole bigram vocabulary (which grows with the corpus).
+    top = counted.orderBy(F.col("n").desc(), "bigram").limit(20)
     w = Window.orderBy(F.col("n").desc(), "bigram")
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("bigram", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "bigram", "n", "rank"
     )
 
 
@@ -489,11 +491,12 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+    # limit-first (TakeOrderedAndProject): the segment table grows with the
+    # corpus; only 20 rows ever reach the ranking window.
+    top = counted.orderBy(F.col("n_docs").desc(), "segment").limit(20)
     w = Window.orderBy(F.col("n_docs").desc(), "segment")
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("segment", "n_occurrences", "n_docs", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "segment", "n_occurrences", "n_docs", "rank"
     )
 
 
@@ -575,8 +578,11 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = hashed.groupBy("t", "h60").agg(F.count(F.lit(1)).alias("exact_n"))
+    # limit-first (TakeOrderedAndProject): the exact-count table spans the
+    # whole vocabulary; the heavy-hitter window only needs its top 20.
+    top20 = exact.orderBy(F.col("exact_n").desc(), "t").limit(20)
     wtop = Window.orderBy(F.col("exact_n").desc(), "t")
-    top = exact.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 20)
+    top = top20.withColumn("rn", F.row_number().over(wtop))
     probes = top.select(
         "t",
         "exact_n",

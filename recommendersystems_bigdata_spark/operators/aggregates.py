@@ -643,21 +643,22 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point — one divide of identical integers on both engines,
     floor-scaled to 1e6.
 
-    Scale: the rank window is a global sort — fine for a per-customer
-    aggregate (n = customers, not lineitems), but at 1000× customers the
-    rank comes from a two-pass distributed ranking (per-partition counts
-    → offset broadcast) instead of a single-partition window; the note
-    in SCALE.md covers the swap.
+    Scale: the rank IS the two-pass distributed ranking
+    (functions/ranks.py global_row_number — per-partition local index +
+    offset broadcast), not a single-partition window, so the per-customer
+    aggregate can grow to billions of rows without funnelling through
+    one task.
     """
+    from recommendersystems_bigdata_spark.functions.ranks import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    ranked = rev.select(
-        "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i")
-    )
+    ranked = global_row_number(
+        rev, [F.col("cents").asc(), F.col("o_custkey").asc()], "i"
+    ).select("cents", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("total"),
@@ -695,16 +696,20 @@ def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoders (and the equi-DEPTH complement of the fixed-width histogram
     d17). ntile is made deterministic by the unique-key tie-break.
 
-    Scale: ntile needs a global sort; at 1000× the bins come from
-    approx-percentile cut points (d21) broadcast back over the scan —
-    one pass, no sort. The exact version stays the small-data oracle.
+    Scale: the exact ntile runs as the distributed global-ntile
+    (functions/ranks.py) — range-partitioned two-pass, no
+    Exchange SinglePartition over the orders table. At 1000× the bins
+    can also come from approx-percentile cut points (d21) broadcast back
+    over the scan — one pass, no sort — when exactness isn't required.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from recommendersystems_bigdata_spark.functions.ranks import global_ntile
 
-    binned = orders.select(
-        "o_totalprice",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    orders = load_table(spark, sf_dir, "orders")
+    binned = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        10,
+        "decile",
     )
     return binned.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -747,9 +752,13 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
     total = li.agg(F.count(F.lit(1)).alias("n_total"))
-    ranked = per_key.withColumn(
+    # limit-first: the sort+limit lowers to TakeOrderedAndProject (each
+    # partition keeps its local top-20, the driver merges) — the ranking
+    # window then runs over 20 rows, never the full per-key aggregate.
+    top = per_key.orderBy(F.col("n_rows").desc(), "l_partkey").limit(20)
+    ranked = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("n_rows").desc(), "l_partkey")).cast("long")
-    ).filter(F.col("rank") <= 20)
+    )
     return ranked.crossJoin(F.broadcast(total)).select(
         "l_partkey",
         "n_rows",

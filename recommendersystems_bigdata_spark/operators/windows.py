@@ -78,14 +78,17 @@ def q_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e3 — acctbal quartiles. The ORDER BY is total (custkey tie-break),
-    so bucket assignment is engine-independent. Global window: acceptable
-    only because it's a per-entity ranking over a bounded dim."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
+    so bucket assignment is engine-independent. Computed via the
+    distributed global-ntile (functions/ranks.py) — a plain
+    ``ntile().over(Window.orderBy(...))`` plans an Exchange
+    SinglePartition, which cannot survive a 1.5B-row customer dim; the
+    two-pass range-partitioned plan is exact-identical and scales."""
+    from recommendersystems_bigdata_spark.functions.ranks import global_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return global_ntile(
+        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], 4, "quartile"
+    ).select("c_custkey", "c_acctbal", "quartile")
 
 
 @query(
@@ -298,24 +301,37 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer with quartile scores — the standard marketing-analytics
     segmentation. ntile runs on the per-customer aggregate (cardinality
     = customers, not orders), ordered with the unique-key tie-break that
-    makes quartile assignment deterministic (hygiene rule e3)."""
+    makes quartile assignment deterministic (hygiene rule e3).
+
+    Each quartile comes from the distributed global-ntile
+    (functions/ranks.py): three plain global windows would each plan an
+    Exchange SinglePartition over the full customer set — the per-entity
+    table is exactly what grows to billions at 100 TB. The three ntiles
+    join back on the unique o_custkey."""
+    from recommendersystems_bigdata_spark.functions.ranks import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").cast("timestamp").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    return rfm.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    ).localCheckpoint()  # three ntile passes + the output read the same agg
+    rq = global_ntile(
+        rfm.select("o_custkey", "last_order"),
+        [F.col("last_order").desc(), F.col("o_custkey")], 4, "r_quartile",
+    ).select("o_custkey", "r_quartile")
+    fq = global_ntile(
+        rfm.select("o_custkey", "frequency"),
+        [F.col("frequency").desc(), F.col("o_custkey")], 4, "f_quartile",
+    ).select("o_custkey", "f_quartile")
+    mq = global_ntile(
+        rfm.select("o_custkey", "monetary"),
+        [F.col("monetary").desc(), F.col("o_custkey")], 4, "m_quartile",
+    ).select("o_custkey", "m_quartile")
+    return (
+        rfm.join(rq, "o_custkey").join(fq, "o_custkey").join(mq, "o_custkey")
+        .select("o_custkey", "last_order", "frequency", "monetary",
+                "r_quartile", "f_quartile", "m_quartile")
     )
 
 
@@ -323,20 +339,22 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_abc_pareto",
     oracle="""
     WITH rev AS (
-      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                  AS BIGINT) AS micros
       FROM lineitem GROUP BY l_partkey
     ),
     ranked AS (
-      SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             sum(revenue) OVER () AS total_rev
+      SELECT l_partkey, micros,
+             sum(micros) OVER (ORDER BY micros DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cum_m,
+             sum(micros) OVER () AS total_m
       FROM rev
     )
-    SELECT l_partkey, round(revenue, 4) AS revenue,
-           round(cum_rev / total_rev, 4) AS cum_share,
-           CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
-                WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+    SELECT l_partkey, round(micros / 10000.0, 4) AS revenue,
+           round(CAST(cum_m AS DOUBLE) / total_m, 4) AS cum_share,
+           CASE WHEN cum_m * 2 <= total_m THEN 'A'
+                WHEN cum_m * 5 <= total_m * 4 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked
     """,
@@ -344,32 +362,40 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: parts ranked by revenue, cumulative
     share thresholds 50%/80% → A/B/C classes — the inventory-analytics
-    staple. The cumulative window is ordered over the per-part aggregate
-    (20k rows at sf0.1, not 600k lineitems); at 100 TB you'd range-
-    partition the ordered window or pre-bucket by revenue decile.
+    staple.
 
-    revenue rounds to 4dp, not 2: the products are exact 4-decimal
-    quantities (2dp price x discount), so round-to-2 sits exactly on
-    half-cent boundaries where engines disagree; round-to-4 lands on the
-    value's own grid and is boundary-free."""
+    Exact-integer discipline: per-part revenue is an exact 4-decimal
+    quantity (2dp price × 4dp discount product), so it converts losslessly
+    to BIGINT micros. That makes the cumulative sum ASSOCIATIVE — which is
+    what lets it run as the distributed global_running_sum
+    (functions/ranks.py: range-partitioned local cumsum + broadcast
+    offsets, no Exchange SinglePartition over the part catalog) while
+    staying bit-identical to the oracle's ordered window. The A/B/C
+    thresholds compare integers (cum·2 ≤ total, cum·5 ≤ total·4), so the
+    50%/80% boundaries are exact on both engines; only the reported
+    cum_share ratio touches floating point, as one divide of identical
+    integers."""
+    from recommendersystems_bigdata_spark.functions.ranks import global_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    w_cum = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    m = rev.select(
+        "l_partkey", F.round(F.col("revenue") * 10000).cast("long").alias("micros")
     )
-    w_all = Window.partitionBy()
-    share = F.col("cum_rev") / F.col("total_rev")
-    return (
-        rev.withColumn("cum_rev", F.sum("revenue").over(w_cum))
-        .withColumn("total_rev", F.sum("revenue").over(w_all))
-        .select(
-            "l_partkey",
-            F.round("revenue", 4).alias("revenue"),
-            F.round(share, 4).alias("cum_share"),
-            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
-        )
+    cum = global_running_sum(
+        m, [F.col("micros").desc(), F.col("l_partkey").asc()], "micros", "cum_m"
+    )
+    total = m.agg(F.sum("micros").cast("long").alias("total_m"))
+    return cum.join(F.broadcast(total), how="cross").select(
+        "l_partkey",
+        F.round(F.col("micros") / 10000.0, 4).alias("revenue"),
+        F.round(F.col("cum_m").cast("double") / F.col("total_m"), 4).alias("cum_share"),
+        F.when(F.col("cum_m") * 2 <= F.col("total_m"), "A")
+        .when(F.col("cum_m") * 5 <= F.col("total_m") * 4, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 
@@ -439,18 +465,20 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization of the ABC/Pareto classes, e11).
 
     Integer-cents end-to-end; the two shares are floor-scaled single
-    divides. Scale: per-customer spend aggregates map-side; the ntile
-    needs a global sort of n_customers rows (not facts) — at 1000× the
-    decile cut-points come from approx percentiles (d21) instead.
+    divides. Scale: per-customer spend aggregates map-side; the decile
+    cut comes from the distributed global-ntile (functions/ranks.py) —
+    no single-partition pass over the customer set; the only global
+    window left runs over the 10 decile rows.
     """
+    from recommendersystems_bigdata_spark.functions.ranks import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    tiled = spend.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("decile"),
-    )
+    tiled = global_ntile(
+        spend, [F.col("cents").desc(), F.col("o_custkey").asc()], 10, "decile"
+    ).select("cents", "decile")
     per_decile = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),

@@ -335,3 +335,40 @@ def test_triangle_wedge_joins_stay_equi(q):
     plan = physical_plan(q("q_graph_triangles"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_rankings_lower_to_take_ordered(q):
+    """limit-first top-k queries must plan TakeOrderedAndProject (each
+    partition keeps a local top-k, the driver merges) — the ranking
+    window may only ever see the k surviving rows, never the full
+    aggregate, which grows with the corpus."""
+    for key in (
+        "q_skew_report",
+        "q_top_bigrams",
+        "q_boilerplate_segments",
+        "q_countmin_heavy_hitters",
+        "q_popularity_topk",
+        "q_user_user_cf",
+    ):
+        plan = physical_plan(q(key))
+        assert "TakeOrderedAndProject" in plan, (key, plan)
+
+
+def test_global_rankings_avoid_single_partition_data_pass(q):
+    """queries using the distributed global rank/ntile/cumsum
+    (functions/ranks.py) must not funnel the data through an Exchange
+    SinglePartition: the only single-partition stages allowed are the
+    bounded offset/total aggregates (one row per shuffle partition).
+    ntile specifically must be lowered to arithmetic — no ntile window
+    function may survive in the physical plan."""
+    for key, max_sp in (
+        ("q_win_ntile", 2),
+        ("q_rfm_segmentation", 6),  # three ntiles: one offsets+total pair each
+        ("q_quantile_binning", 2),
+        ("q_decile_lift", 4),  # + the 10-row decile cum window + grand total
+        ("q_gini_concentration", 2),  # offsets window + final 1-row aggregate
+        ("q_abc_pareto", 2),
+    ):
+        plan = physical_plan(q(key))
+        assert plan.count("SinglePartition") <= max_sp, (key, plan)
+        assert "ntile(" not in plan, (key, plan)
