@@ -74,6 +74,10 @@ def main() -> None:
         best = min(_time_once(fn, spark, sf_dir) for _ in range(RUNS_PER_QUERY))
         timings[name] = round(best, 3)
 
+    # r1-r3 benched only the first 7 queries; the LLM-surface ops were added
+    # in round 4. The subtotal keeps round-over-round comparisons honest
+    # without changing the contracted top-level fields.
+    legacy_7q = round(sum(timings[n] for n in HEADLINE[:7]), 3)
     print(
         json.dumps(
             {
@@ -82,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r3_comparable_7q_sec": legacy_7q,
             }
         )
     )
