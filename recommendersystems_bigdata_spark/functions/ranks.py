@@ -29,6 +29,16 @@ multi-pass discipline, same as the LSH edge set in ml/dedup.py).
 (matching Spark/ANSI semantics: with n rows, q = n div k, r = n mod k,
 the first r buckets get q+1 rows), so quantile binning over a 100 TB fact
 table needs no single-partition exchange either.
+
+Caller contract: ``repartitionByRange`` runs a boundary-sampling job that
+RECOMPUTES the input once before the shuffle pass (same cost profile as
+``orderBy``). Rank correctness is boundary-independent — any monotone
+boundary set yields the same final ranks — but (a) an expensive upstream
+(multi-join aggregate) is worth ``localCheckpoint``-ing first to avoid
+the double compute (see q_rfm_segmentation), and (b) the ordering keys
+themselves must be recompute-deterministic: integers, or doubles whose
+derivation survives re-execution bit-for-bit at the key's granularity
+(e.g. the Pareto micros, where float noise is ≪ the rounding step).
 """
 
 from __future__ import annotations
