@@ -39,6 +39,14 @@ the double compute (see q_rfm_segmentation), and (b) the ordering keys
 themselves must be recompute-deterministic: integers, or doubles whose
 derivation survives re-execution bit-for-bit at the key's granularity
 (e.g. the Pareto micros, where float noise is ≪ the rounding step).
+
+Retention: each helper ``localCheckpoint``-s its ranged intermediate and
+holds no reference after returning — the blocks are freed by Spark's
+ContextCleaner once the returned DataFrame (and its lineage) is garbage
+collected, not at action completion. Callers that invoke a helper many
+times in one long-lived session (benchmark loops, repeated evaluations)
+pay that transient storage; it is bounded by the helper input's size and
+self-cleans, so no explicit unpersist hook is exposed.
 """
 
 from __future__ import annotations
@@ -48,7 +56,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 _PID = "_gr_pid"
 _LRN = "_gr_lrn"
-_CNT = "_gr_cnt"
+_CNT = "_gr_cnt"  # per-partition ROW COUNTS (global_row_number)
+_TOT = "_gr_tot"  # per-partition value SUMS (global_running_sum)
 _OFF = "_gr_off"
 
 
@@ -67,8 +76,8 @@ def global_row_number(df: DataFrame, order: list, name: str = "rn") -> DataFrame
     )
 
     def add_local_index(batches):
-        # Nested def: cloudpickled by value, so workers never import this
-        # module (engine rule — see .claude/skills/verify gotchas).
+        # Nested def: cloudpickled by value, so executors never need this
+        # module importable on their own sys.path.
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -134,10 +143,10 @@ def global_running_sum(
 
     ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
     local = ranged.mapInPandas(add_local_cumsum, schema=out_schema).localCheckpoint()
-    totals = local.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    totals = local.groupBy(_PID).agg(F.sum(value_col).alias(_TOT))
     off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        _PID, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0)).alias(_OFF)
+        _PID, F.coalesce(F.sum(_TOT).over(off_w), F.lit(0)).alias(_OFF)
     )
     return (
         local.join(F.broadcast(offsets), _PID)
@@ -153,12 +162,25 @@ def global_ntile(df: DataFrame, order: list, k: int, name: str = "bucket") -> Da
     rn_col = f"_gr_rn_{name}"
     ranked = global_row_number(df, order, rn_col)
     total = ranked.agg(F.count(F.lit(1)).alias("_gr_n"))
-    q = F.floor(F.col("_gr_n") / k)
-    r = F.col("_gr_n") % k
-    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    # Pure long arithmetic (`div` is integer division): ceil(a / b) over
+    # positive longs is (a - 1) div b + 1, so bucket ids never round-trip
+    # through doubles. q = n div k, r = n mod k; the first r buckets hold
+    # q+1 rows (covering `big` rows), the rest hold q. The otherwise-branch
+    # divisor q is 0 only when n < k, in which case every row has
+    # rn <= big and the branch is never selected (div-by-zero yields NULL
+    # in the unselected branch, which CASE discards).
     rn = F.col(rn_col)
-    bucket = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
-        r + F.ceil((rn - big) / F.when(q > 0, q))
+    q = F.expr(f"_gr_n div {k}")
+    r = F.expr(f"_gr_n % {k}")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = F.when(
+        rn <= big, F.expr(f"({rn_col} - 1) div (_gr_n div {k} + 1)") + 1
+    ).otherwise(
+        r
+        + F.expr(
+            f"({rn_col} - (_gr_n % {k}) * (_gr_n div {k} + 1) - 1) div (_gr_n div {k})"
+        )
+        + 1
     )
     return (
         ranked.join(F.broadcast(total), how="cross")

@@ -381,9 +381,12 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+    # Checkpoint the aggregate once: global_running_sum's boundary sampling,
+    # its shuffle pass, and the separate total all re-read it otherwise
+    # (the recompute cost ranks.py's caller contract warns about).
     m = rev.select(
         "l_partkey", F.round(F.col("revenue") * 10000).cast("long").alias("micros")
-    )
+    ).localCheckpoint()
     cum = global_running_sum(
         m, [F.col("micros").desc(), F.col("l_partkey").asc()], "micros", "cum_m"
     )
