@@ -322,20 +322,104 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="""
-    WITH RECURSIVE tok AS (
+# Engine-portable MinHash: k=8 universal-hash permutations over the same
+# md5-derived 60-bit token hash the SimHash operator uses. Coefficients are
+# fixed odd constants; arithmetic stays below 2^63 because operands are
+# first reduced mod p (Mersenne prime 2^31-1).
+_MINHASH_P = (1 << 31) - 1
+_MINHASH_COEF = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
+
+_BUCKET_CAP = 256
+
+
+def band_candidates(spark: SparkSession, sf_dir: str, bucket_cap: int = _BUCKET_CAP) -> DataFrame:
+    """Near-dup candidate pairs ``(doc_a < doc_b)`` from the deterministic
+    MinHash band buckets (l17): docs sharing either 2-row band key, with
+    buckets above ``bucket_cap`` members dropped BEFORE pair expansion
+    (a degenerate bucket means the band signature stopped discriminating;
+    expanding it is quadratic in its size for near-zero information).
+
+    This is the repo's single candidate generator for document near-dup
+    work — the pairwise verifier (``q_dedup_lsh_join``) and the
+    connected-components clustering (``q_dedup_clusters``) both consume
+    it, so the O(n·bands) bucketed shape (never all-pairs) is the only
+    path from corpus to candidate edges. The bucket-size gate is a window
+    count over the band key: ONE shuffle, whose partitioning the
+    self-join below reuses (vs. a groupBy+join gate, which shuffles the
+    same key twice)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+
+    def pair(band: str) -> DataFrame:
+        w = Window.partitionBy(band)
+        s = (
+            sig.select("doc_id", band)
+            .withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        a, b = s.alias("a"), s.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    return pair("band0").unionByName(pair("band1")).distinct()
+
+
+# DuckDB twin of band_candidates — CTE block shared by the l19 and l15
+# oracles so both queries verify against the SAME candidate set. Yields
+# `tok` (doc_id, distinct-token list) and `cand` (doc_a < doc_b pairs).
+_BAND_CAND_SQL = f"""
+    tok AS (
       SELECT doc_id,
              list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ts
       FROM documents
     ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+               % {_MINHASH_P} AS h60
+      FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+    ),
+    sig AS (
+      SELECT doc_id,
+             md5(CAST(min((1 * h60 + 7919) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+                 CAST(min((3 * h60 + 15838) % {_MINHASH_P}) AS VARCHAR)) AS band0,
+             md5(CAST(min((5 * h60 + 23757) % {_MINHASH_P}) AS VARCHAR) || '-' ||
+                 CAST(min((7 * h60 + 31676) % {_MINHASH_P}) AS VARCHAR)) AS band1
+      FROM h GROUP BY doc_id
+    ),
+    s0 AS (
+      SELECT doc_id, band0 FROM sig
+      WHERE band0 IN (SELECT band0 FROM sig GROUP BY band0 HAVING count(*) <= {_BUCKET_CAP})
+    ),
+    s1 AS (
+      SELECT doc_id, band1 FROM sig
+      WHERE band1 IN (SELECT band1 FROM sig GROUP BY band1 HAVING count(*) <= {_BUCKET_CAP})
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s0 a JOIN s0 b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM s1 a JOIN s1 b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      )
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_BAND_CAND_SQL},
     e0 AS (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM tok a JOIN tok b
-        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
-       AND len(list_intersect(a.ts, b.ts)) * 1.0
-           / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+      SELECT c.doc_a AS src, c.doc_b AS dst
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.doc_a
+      JOIN tok b ON b.doc_id = c.doc_b
+      WHERE len(list_intersect(a.ts, b.ts)) * 1.0
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
     ),
     edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     walk(doc_id, label) AS (
@@ -350,9 +434,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over Jaccard≥0.9 edges
-    (candidate pairs bounded to an id window of 3 — the stand-in for LSH
-    bucket mates), canonical doc = min doc_id per component.
+    """Near-dup clustering: connected components over Jaccard≥0.9 edges,
+    canonical doc = min doc_id per component. Candidate pairs come from
+    the repo's own LSH band buckets (:func:`band_candidates` — the same
+    generator ``q_dedup_lsh_join`` verifies), then exact Jaccard on the
+    distinct-token sets gates which candidates become edges.
 
     This is the step that turns pairwise near-dup hits into keep/drop
     decisions. Spark side: iterative min-label propagation — each round
@@ -361,32 +447,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the GraphX/large-star pattern; rounds ~ graph diameter, and each
     round is two shuffles on doc_id). The iteration is why this operator
     exists: it is the one §2 entry that genuinely cannot be a single
-    declarative plan, and the DuckDB oracle (a recursive CTE computing
-    min reachable label) checks it exactly.
+    declarative plan, and the DuckDB oracle (the same banded candidate
+    CTEs plus a recursive CTE computing min reachable label) checks it
+    exactly.
 
-    The candidate-pair build deliberately avoids a range self-join: a
-    pure `b.doc_id BETWEEN a+1 AND a+3` condition has no equi conjunct,
-    so Spark plans a nested-loop O(n²) join (measured: unbounded at 100k
-    docs). Instead each doc EXPLODES its 3 candidate partner ids and the
-    join is a plain equi join on doc_id — linear, shuffle-partitioned,
-    the general banded spelling of any bounded range join.
+    Scale: candidate generation is the banded-bucket equi-join shape
+    (O(n·bands), capped buckets, never all-pairs); the Jaccard gate fans
+    out candidates — not the corpus. LSH recall is probabilistic by
+    design: a true near-dup pair that agrees on neither band is not an
+    edge, exactly as in a production MinHash pipeline (add bands/rows to
+    trade cost for recall).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
     )
-    cand = tok.select(
-        F.col("doc_id").alias("src"),
-        F.col("ts").alias("src_ts"),
-        F.explode(F.array(*[F.col("doc_id") + k for k in (1, 2, 3)])).alias("doc_id"),
-    )
-    inter = F.size(F.array_intersect(F.col("src_ts"), F.col("ts")))
-    union = F.size(F.col("src_ts")) + F.size(F.col("ts")) - inter
+    cand = band_candidates(spark, sf_dir)
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
     e0 = (
-        cand.join(tok, "doc_id")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .filter(inter * 1.0 / union >= 0.9)
-        .select("src", F.col("doc_id").alias("dst"))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint()  # computed once, reused every round
@@ -456,14 +542,6 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_hash", F.round("ttr", 4).alias("quality"), "group_size")
     )
-
-
-# Engine-portable MinHash: k=8 universal-hash permutations over the same
-# md5-derived 60-bit token hash the SimHash operator uses. Coefficients are
-# fixed odd constants; arithmetic stays below 2^63 because operands are
-# first reduced mod p (Mersenne prime 2^31-1).
-_MINHASH_P = (1 << 31) - 1
-_MINHASH_COEF = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
 
 
 @query(
@@ -558,48 +636,14 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_lsh_join",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id,
-             CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
-               % {_MINHASH_P} AS h60
-      FROM tok
-    ),
-    sig AS (
-      SELECT doc_id,
-             md5(CAST(min((1 * h60 + 7919) % {_MINHASH_P}) AS VARCHAR) || '-' ||
-                 CAST(min((3 * h60 + 15838) % {_MINHASH_P}) AS VARCHAR)) AS band0,
-             md5(CAST(min((5 * h60 + 23757) % {_MINHASH_P}) AS VARCHAR) || '-' ||
-                 CAST(min((7 * h60 + 31676) % {_MINHASH_P}) AS VARCHAR)) AS band1
-      FROM h GROUP BY doc_id
-    ),
-    s0 AS (
-      SELECT doc_id, band0 FROM sig
-      WHERE band0 IN (SELECT band0 FROM sig GROUP BY band0 HAVING count(*) <= 256)
-    ),
-    s1 AS (
-      SELECT doc_id, band1 FROM sig
-      WHERE band1 IN (SELECT band1 FROM sig GROUP BY band1 HAVING count(*) <= 256)
-    ),
-    cand AS (
-      SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM s0 a JOIN s0 b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id, b.doc_id
-        FROM s1 a JOIN s1 b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    WITH {_BAND_CAND_SQL},
+    tokx AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokx GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_shared
       FROM cand c
-      JOIN tok ta ON ta.doc_id = c.doc_a
-      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+      JOIN tokx ta ON ta.doc_id = c.doc_a
+      JOIN tokx tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b, n_shared,
@@ -623,8 +667,8 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike MLlib's MinHashLSH (k12, rows-only), every stage here is
     integer/md5 arithmetic, so the whole pipeline hash-matches the
     oracle. Scale: band buckets are the unit of skew, so buckets above
-    BUCKET_CAP members are DROPPED before pair expansion — a degenerate
-    bucket means the band signature stopped discriminating (boilerplate /
+    the cap are DROPPED before pair expansion — a degenerate bucket means
+    the band signature stopped discriminating (boilerplate /
     shared-template docs), and expanding it is quadratic in its size for
     near-zero information (this corpus: one 3,890-doc bucket at sf0.1
     produced 7.6M of 9.2M candidates and 90% of the 72 s wall time).
@@ -633,35 +677,17 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering's (l4) job, not the pairwise verifier's. The jaccard
     ratio is exact integers floor-scaled, immune to float summation
     order.
+
+    The signature subtree inside band_candidates feeds four join branches
+    (a/b × band0/band1) and recomputes in each (no Catalyst subtree
+    reuse; 16 HashAggregates in the plan). Measured at sf0.1 the
+    recompute is CHEAPER than materializing (localCheckpoint: 1.8–2.3 s
+    vs 1.5 s) because the build stays fused in codegen. At 100 TB the
+    trade reverses — signatures are written once as a table and every
+    dedup pass reads them — which is a storage-layout decision, not a
+    query-plan one.
     """
-    BUCKET_CAP = 256
-    # The signature subtree feeds four join branches (a/b × band0/band1)
-    # and recomputes in each (no Catalyst subtree reuse; 16 HashAggregates
-    # in the plan). Measured at sf0.1 the recompute is CHEAPER than
-    # materializing (localCheckpoint: 1.8–2.3 s vs 1.5 s) because the
-    # build stays fused in codegen. At 100 TB the trade reverses —
-    # signatures are written once as a table and every dedup pass reads
-    # them — which is a storage-layout decision, not a query-plan one.
-    sig = q_minhash_signatures(spark, sf_dir)
-
-    def pair(band):
-        # bucket-size gate via a window count: ONE shuffle on the band key,
-        # whose partitioning the self-join below then reuses (vs. a
-        # groupBy+join gate, which shuffles the same key twice).
-        w = Window.partitionBy(band)
-        s = (
-            sig.select("doc_id", band)
-            .withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= BUCKET_CAP)
-            .drop("_bn")
-        )
-        a, b = s.alias("a"), s.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    cand = pair("band0").unionByName(pair("band1")).distinct()
+    cand = band_candidates(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",

@@ -93,3 +93,27 @@ def test_als_deterministic_same_session(spark, sf_dir):
     a = sorted(map(str, q(spark, sf_dir).collect()))
     b = sorted(map(str, q(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_dedup_clusters_uses_band_candidates(spark, tmp_path):
+    """Two near-dup docs with far-apart ids must land in ONE cluster: the
+    candidate edges come from the MinHash band buckets (band_candidates),
+    not from any id-adjacency window, so id distance is irrelevant.
+
+    Docs 1 and 42 share the same DISTINCT token set (different text, so
+    exact dedup would NOT merge them) ⇒ identical MinHash signature ⇒
+    same band bucket ⇒ candidate pair; Jaccard 1.0 ≥ 0.9 ⇒ edge."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (42, "epsilon delta gamma beta alpha epsilon"),  # same token set
+        (7, "unrelated words entirely over here"),
+        (8, "another completely distinct document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["q_dedup_clusters"](spark, str(tmp_path)).collect()
+    lab = {r.doc_id: r.cluster_id for r in out}
+    canon = {r.doc_id: r.is_canonical for r in out}
+    assert lab[42] == lab[1] == 1, lab
+    assert canon[1] and not canon[42]
+    assert lab[7] == 7 and lab[8] == 8  # singletons stay themselves
