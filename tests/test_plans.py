@@ -75,8 +75,14 @@ def test_broadcast_join_on_dims(spark, q):
         assert plan.count("BroadcastHashJoin") >= 3, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
+        # conf.get(k, None) returns None for any conf never explicitly set
+        # (even ones with built-in defaults) — restoring must UNSET those,
+        # not skip them, or the -1 thresholds leak into the shared session
+        # and break every later broadcast-plan assertion.
         for k, v in saved.items():
-            if v is not None:
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
 
 
