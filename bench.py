@@ -5,12 +5,17 @@ Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line::
 
     {"metric": "headline_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q_agg_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q_agg_pricing_summary": sec, ...}, "sf": 0.1,
+     "runs": [{...}, {...}, {...}]}
 
 Each query is materialized through the noop sink (full execution, no
-driver-side row transfer — the same discipline a cluster benchmark uses),
-timed twice, best-of-2 recorded so JVM/JIT warm-up doesn't dominate the
-small scale factors.
+driver-side row transfer — the same discipline a cluster benchmark uses).
+The whole set is timed as THREE full-run series; ``queries`` holds the
+per-query MEDIAN of the three and ``value`` is the sum of medians.
+Single runs on this box show ±25% cross-session noise with ~0.6%
+within-session spread (BENCH_LOCAL_r04.json), so medians-of-3 is the
+round-over-round comparison unit; the raw series are kept in ``runs``
+so any artifact can be re-checked for spread.
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -44,7 +50,7 @@ HEADLINE = (
     "q_text_quality",
 )
 
-RUNS_PER_QUERY = 3
+N_SERIES = 3
 
 # Shuffle-partition count sized for the bench scale factor: sf0.1 shuffles
 # are a few MB, so 8 partitions beat the engine's 32-way default (less task
@@ -68,24 +74,36 @@ def main() -> None:
     spark = get_spark(app_name="bench", shuffle_partitions=BENCH_SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    # Untimed warm-up pass: JVM/JIT + parquet footer caches, so series 1
+    # measures the same steady state as series 2–3.
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = min(_time_once(fn, spark, sf_dir) for _ in range(RUNS_PER_QUERY))
-        timings[name] = round(best, 3)
+        _time_once(registry.QUERIES[name], spark, sf_dir)
+
+    runs: list[dict[str, float]] = []
+    for _ in range(N_SERIES):
+        series = {
+            name: round(_time_once(registry.QUERIES[name], spark, sf_dir), 3)
+            for name in HEADLINE
+        }
+        runs.append(series)
+
+    medians = {
+        name: round(statistics.median(r[name] for r in runs), 3) for name in HEADLINE
+    }
 
     # r1-r3 benched only the first 7 queries; the LLM-surface ops were added
     # in round 4. The subtotal keeps round-over-round comparisons honest
     # without changing the contracted top-level fields.
-    legacy_7q = round(sum(timings[n] for n in HEADLINE[:7]), 3)
+    legacy_7q = round(sum(medians[n] for n in HEADLINE[:7]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_wall_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "runs": runs,
                 "r3_comparable_7q_sec": legacy_7q,
             }
         )

@@ -402,8 +402,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path mining: the 10 most common 3-step event sequences across all
     users — the flow-analysis view behind sankey funnels. One user_id
-    shuffle for the double-lead window, then a tiny (≤125 paths) global
-    aggregate."""
+    shuffle for the double-lead window, then a tiny (≤ event-type³ paths)
+    global aggregate, taken limit-first (TakeOrderedAndProject) so the
+    ranking window only ever sees the 10 surviving rows."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     seq = ev.select(
@@ -414,11 +415,10 @@ def q_events_pathing(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(">", "e1", "e2", "e3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
+    top = paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
     wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
-    return (
-        paths.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("path", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "path", "n", "rank"
     )
 
 

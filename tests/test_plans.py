@@ -378,3 +378,31 @@ def test_global_rankings_avoid_single_partition_data_pass(q):
         plan = physical_plan(q(key))
         assert plan.count("SinglePartition") <= max_sp, (key, plan)
         assert "ntile(" not in plan, (key, plan)
+
+
+def test_topk_rank_windows_run_after_limit(q):
+    """The global top-k queries must lower their sort+limit to
+    TakeOrderedAndProject and feed the rank window FROM the limited frame
+    (Window parent of TakeOrderedAndProject in the tree): the unpartitioned
+    window then runs over k rows by construction, never over the
+    data-sized aggregate — pinning this shape kills the
+    'WindowExec: No Partition Defined' class as a regression vector."""
+    for key in (
+        "q_top_bigrams",
+        "q_boilerplate_segments",
+        "q_countmin_heavy_hitters",
+        "q_skew_report",
+        "q_user_user_cf",
+        "q_events_pathing",
+    ):
+        plan = physical_plan(q(key))
+        assert "TakeOrderedAndProject" in plan, f"{key}:\n{plan}"
+        wi = plan.find("Window")
+        ti = plan.find("TakeOrderedAndProject")
+        # Window absent is fine too (Catalyst prunes the rank entirely when
+        # the output doesn't use it, e.g. q_countmin_heavy_hitters); what
+        # must never appear is a window BELOW the limit, i.e. over the
+        # data-sized frame.
+        assert wi == -1 or wi < ti, (
+            f"{key}: rank window is not above the limited frame\n{plan}"
+        )
