@@ -164,21 +164,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check (centroids are model-internal); recall vs the exact
     q_cosine_topk twin is asserted in tests/test_ml.py.
+
+    nprobe is tuned for THIS corpus: its embeddings are near-random (exact
+    top-5 neighbors sit at cos ≈ 0.3), so the coarse quantizer carries
+    little signal and recall@5 needs 10 of 16 cells probed (0.89 measured;
+    6 → 0.67). Real embedding corpora cluster far more tightly and run at
+    nprobe/nlist ratios of 1–25%; tests/test_ml.py gates BOTH operating
+    points — ≥0.8 here, and ≥0.8 at nprobe/nlist = 25% on a synthetic
+    clustered corpus (the ratio real deployments use).
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, emb, nlist=16, nprobe=10, k=5)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    nlist: int,
+    nprobe: int,
+    k: int,
+    n_queries: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN core over an (vec_id, embedding) DataFrame: seeded KMeans
+    coarse quantizer → cluster assignment → per-query nprobe probes →
+    exact cosine re-rank over probed clusters only. Queries are the rows
+    with ``vec_id < n_queries``. Candidates scale with nprobe/nlist of
+    the corpus, not the corpus."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from recommendersystems_bigdata_spark.ml.vectors import cosine
 
-    # nprobe tuned on the corpus: its embeddings are near-random (exact
-    # top-5 neighbors sit at cos ≈ 0.3), so the coarse quantizer carries
-    # little signal and recall@5 needs 10 of 16 cells probed (0.89 measured;
-    # 6 → 0.67). Real embedding corpora cluster far more tightly and run at
-    # nprobe/nlist ratios of 1–5%; the recall/nprobe trade is data-dependent
-    # and gated in tests/test_ml.py at ≥ 0.8.
-    nlist, nprobe, k = 16, 10, 5
-    emb = load_table(spark, sf_dir, "embeddings")
     # L2-normalize before quantizing: on unit vectors Euclidean distance is
     # monotone in cosine, so the Euclidean KMeans quantizer respects the
     # cosine metric the re-rank uses (spherical k-means).
@@ -189,12 +207,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
     vecs = emb.select("vec_id", "embedding", array_to_vector(unit).alias("features"))
-    km = KMeans(k=nlist, seed=42, featuresCol="features", predictionCol="cluster").fit(vecs)
+    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cluster").fit(vecs)
     assigned = km.transform(vecs).select("vec_id", "embedding", "cluster")
 
-    centers = np.stack([np.asarray(c, dtype="float64") for c in km.clusterCenters()])  # nlist×64
+    centers = np.stack([np.asarray(c, dtype="float64") for c in km.clusterCenters()])  # nlist×dim
     c_norm = np.sqrt((centers**2).sum(axis=1))
-    qrows = sorted(emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect())
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    )
     probe_rows = []
     for vid, e in qrows:
         q = np.asarray(e, dtype="float64")

@@ -117,3 +117,42 @@ def test_dedup_clusters_uses_band_candidates(spark, tmp_path):
     assert lab[42] == lab[1] == 1, lab
     assert canon[1] and not canon[42]
     assert lab[7] == 7 and lab[8] == 8  # singletons stay themselves
+
+
+def test_ann_ivf_clustered_corpus_low_nprobe(spark):
+    """IVF at the operating point real corpora use: on a CLUSTERED vector
+    set, recall@5 must hold ≥0.8 with nprobe/nlist = 25% (4 of 16 cells)
+    — this corpus's 62% probe ratio is an artifact of its near-random
+    embeddings, not of the IVF shape. Synthetic corpus: 8 well-separated
+    unit centers, 50 jittered members each; within-cluster cosine ≫
+    cross-cluster, so the coarse quantizer carries real signal."""
+    import numpy as np
+
+    from recommendersystems_bigdata_spark.ml.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for ci in range(8):
+        pts = centers[ci] + 0.15 * rng.normal(size=(50, 16))
+        vecs.extend(pts)
+    vecs = np.asarray(vecs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = ivf_topk(spark, emb, nlist=16, nprobe=4, k=5)
+    approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+
+    # exact brute-force cosine top-5 for the 20 query vectors
+    norms = np.linalg.norm(vecs, axis=1)
+    exact = set()
+    for qid in range(20):
+        cos = (vecs @ vecs[qid]) / (norms * norms[qid])
+        cos[qid] = -np.inf
+        order = sorted(range(len(vecs)), key=lambda j: (-cos[j], j))[:5]
+        exact.update((qid, j) for j in order)
+
+    assert len(exact) == 100
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"clustered-corpus IVF recall {recall:.3f} < 0.8 at nprobe/nlist=25%"

@@ -57,3 +57,55 @@ def test_rounds_4_to_7_cover_all_keys():
 def test_progress_round_parse_is_safe():
     assert registry._driver_round() >= 4  # live file parses
     assert registry._module_order(registry._driver_round())  # never raises
+
+
+# Exact sampling windows for the remaining evidence rounds, pinned so a
+# module reshuffle (or a key added mid-file) can't silently resample
+# already-green keys instead of the never-sampled tail.
+_ROUND6_FIRST50 = [
+    "q_tumble_window", "q_slide_window", "q_gaps_islands", "q_session_window",
+    "q_stream_dedup", "q_agg_hll_sketch_merge", "q_events_funnel",
+    "q_retention_cohort", "q_resample_ffill", "q_events_pathing",
+    "q_interval_concurrency", "q_events_heatmap", "q_rolling_active_users",
+    "q_revenue_mom_growth", "q_events_error_rate", "q_user_inactivity",
+    "q_ship_ontime_rate", "q_session_conversion", "q_daily_value_percentiles",
+    "q_stream_watermark_tumble", "q_stream_static_join", "q_stream_stream_join",
+    "q_stream_foreach_batch_sink", "q_stream_stateful_count",
+    "q_stream_session_window", "q_sink_compaction", "q_io_orc_text_roundtrip",
+    "q_dedup_exact", "q_dedup_simhash", "q_dedup_density_estimate",
+    "q_jaccard_shingles", "q_dedup_ngram", "q_dedup_embedding",
+    "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_keep_best",
+    "q_minhash_signatures", "q_dedup_rate_report", "q_dedup_lsh_join",
+    "q_win_rownum_topk", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
+    "q_win_running_sum", "q_win_moving_avg", "q_win_first_last",
+    "q_win_percent_cume", "q_win_corr_rolling", "q_rfm_segmentation",
+    "q_abc_pareto",
+]
+
+_ROUND7_FIRST50 = [
+    "q_agg_pricing_summary", "q_agg_count_distinct", "q_agg_approx_distinct",
+    "q_agg_conditional", "q_agg_having", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_agg_stats", "q_agg_percentile", "q_agg_collect",
+    "q_agg_min_max_by", "q_pivot_wide", "q_unpivot_long", "q_agg_histogram",
+    "q_agg_zscore_outliers", "q_events_transition", "q_agg_moments",
+    "q_agg_approx_percentile", "q_agg_iqr_outliers", "q_gini_concentration",
+    "q_quantile_binning", "q_skew_report", "q_anomaly_mad",
+    "q_repeat_purchase_rate", "q_drift_chi2", "q_ab_test_proportions",
+    "q_scan_parquet", "q_scan_schema", "q_scan_count_all", "q_sql_entry",
+    "q_io_csv_json_roundtrip", "q_sink_partitioned", "q_upsert_latest",
+    "q_scd2_history", "q_apply_deletes", "q_zorder_clustering",
+    "q_project_compute", "q_filter_compound", "q_filter_null_semantics",
+    "q_distinct", "q_sample", "q_sample_stratified", "q_fk_integrity",
+    "q_profile_columns", "q_join_inner_equi", "q_join_star_multiway",
+    "q_join_broadcast", "q_join_left_outer", "q_join_full_outer",
+]
+
+
+def test_round6_and_round7_sample_windows_pinned():
+    """Rounds 6/7 are the last two evidence rounds: their exact first-50
+    key lists are pinned so the never-driver-sampled tail (timeops/
+    streaming/sources + dedup tail in r6, the aggregates tail in r7) is
+    guaranteed to land inside the driver's sample window."""
+    registry.load_all()
+    assert _first50(6) == _ROUND6_FIRST50
+    assert _first50(7) == _ROUND7_FIRST50

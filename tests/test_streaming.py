@@ -216,3 +216,42 @@ def test_stream_session_window_subset_of_batch(spark, sf_dir):
         assert batch[key] == n, (key, n, batch[key])
     # most of the corpus precedes the watermark horizon: expect good coverage
     assert len(streamed) >= 0.5 * len(batch), (len(streamed), len(batch))
+
+
+def test_watermark_tumble_invariant_to_chunk_count(spark, sf_dir):
+    """The emitted window set must be a property of the WATERMARK, not of
+    how the arrival sequence happens to be chunked: re-running the
+    watermarked tumbling aggregate with 16 micro-batches instead of 4
+    must produce the identical result set. Proves the append-mode
+    emission fix is watermark-correct rather than tuned to the default
+    chunking."""
+    from recommendersystems_bigdata_spark import registry
+    from recommendersystems_bigdata_spark.streaming import stream_queries as sq
+
+    registry.load_all()
+    fn = registry.QUERIES["q_stream_watermark_tumble"]
+
+    def rows(df):
+        return sorted(
+            (r["w_start"], r["event_type"], r["n_events"], r["total_value"])
+            for r in df.collect()
+        )
+
+    baseline = rows(fn(spark, sf_dir))  # default N_STREAM_CHUNKS (4)
+    assert baseline, "baseline stream emitted nothing"
+
+    saved_chunks = sq.N_STREAM_CHUNKS
+    saved_cache = dict(sq._STREAM_SRC)
+    try:
+        sq.N_STREAM_CHUNKS = 16
+        sq._STREAM_SRC.clear()  # force re-materialization at 16 chunks
+        rechunked = rows(fn(spark, sf_dir))
+    finally:
+        sq.N_STREAM_CHUNKS = saved_chunks
+        sq._STREAM_SRC.clear()
+        sq._STREAM_SRC.update(saved_cache)
+
+    assert rechunked == baseline, (
+        f"emitted set changed with chunking: {len(baseline)} baseline rows "
+        f"vs {len(rechunked)} at 16 chunks"
+    )
