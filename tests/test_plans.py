@@ -242,6 +242,17 @@ def test_lsh_join_avoids_nested_loop(q):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_band_candidates_stay_bucketed(spark, sf_dir):
+    """band_candidates is the shared candidate generator for BOTH the
+    pairwise verifier and the clustering operator — its plan must be
+    band-key equi joins only, never a nested loop or cartesian product."""
+    from recommendersystems_bigdata_spark.ml.dedup import band_candidates
+
+    plan = physical_plan(band_candidates(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_item_recs_neighbor_list_broadcasts(q):
     """the capped top-10 neighbor list is the small side and must
     broadcast into the user-items join — candidate generation may not
