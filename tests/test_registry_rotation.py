@@ -27,16 +27,17 @@ def _first50(rnd: int) -> list[str]:
 def test_rotation_orders_are_permutations():
     registry.load_all()
     all_mods = set(registry._module_order(4))
-    for rnd in (1, 4, 5, 6, 7):
+    for rnd in (1, 4, 5, 6, 7, 8):
         order = registry._module_order(rnd)
         assert len(order) == len(set(order)), f"duplicate module in round {rnd}"
         assert set(order) == all_mods, f"round {rnd} drops a module"
 
 
-def test_rounds_4_to_7_cover_all_keys():
-    """The union of the four 50-key sampling windows plus the r1–r3 block
-    must cover every registered key: after round 7 every §2 operator has
-    appeared in a driver CORRECTNESS sample."""
+def test_rounds_4_to_8_cover_all_keys():
+    """The union of the 50-key sampling windows plus the r1–r3 block must
+    cover every registered key: after round 8 every §2 operator (including
+    the round-5 curation tail, which leads the round-8 order) has appeared
+    in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -48,7 +49,7 @@ def test_rounds_4_to_7_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7):
+    for rnd in (4, 5, 6, 7, 8):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
