@@ -1,0 +1,123 @@
+"""Cross-operator invariants for the corpus-curation module (§2.M) that the
+per-key oracle parity checks can't express: determinism under physical
+re-layout, split soundness, and consistency with the shared banded-LSH
+candidate generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendersystems_bigdata_spark import registry
+
+registry.load_all()
+
+
+def test_sample_per_source_invariant_to_partitioning(spark, sf_dir):
+    """The deterministic sampler must pick the SAME rows regardless of the
+    input's physical layout — the property that makes a 100 TB sample
+    reproducible across cluster sizes and reruns. Exercised by forcing two
+    different shuffle-partition settings around the same query."""
+    fn = registry.QUERIES["q_curate_sample_per_source"]
+    base = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        relaid = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == relaid
+    # and the cap actually binds: no source exceeds 20 kept docs
+    per_src = (
+        fn(spark, sf_dir).groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_src <= 20
+
+
+def test_split_leakage_split_is_sound(spark, sf_dir):
+    """The hash split must be a partition of the corpus (every doc on
+    exactly one side) and n_leaked can never exceed n_test."""
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    n_total = docs.count()
+    n_test = docs.filter(is_test).count()
+    n_train = docs.filter(~is_test).count()
+    assert n_test + n_train == n_total  # partition: no doc dropped or doubled
+    assert 0 < n_test < n_total  # both sides populated at every sf
+    rows = registry.QUERIES["q_curate_split_leakage"](spark, sf_dir).collect()
+    assert sum(r["n_test"] for r in rows) == n_test
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_test"]
+
+
+def test_cross_source_pairs_are_subset_of_lsh_join(spark, sf_dir):
+    """q_dedup_cross_source and q_dedup_lsh_join consume the same
+    band_candidates generator; the cross-source screen's pairs must be
+    exactly the lsh-join's is_dup pairs (Jaccard ≥ 0.9 implies ≥ 0.5)
+    whose two docs come from different sources."""
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_cross_source"](spark, sf_dir).collect()
+    }
+    lsh = registry.QUERIES["q_dedup_lsh_join"](spark, sf_dir)
+    src = dict(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh.filter(F.col("jaccard_x1e6") >= 900_000).collect()
+        if src[r["doc_a"]] != src[r["doc_b"]]
+    }
+    assert cross == expected
+
+
+def test_quality_cascade_is_monotone(spark, sf_dir):
+    """Funnel counts must telescope: each stage's docs_in equals the prior
+    stage's docs_out, and counts never increase down the cascade."""
+    rows = sorted(
+        registry.QUERIES["q_curate_quality_cascade"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+    for r in rows:
+        assert r["rejected"] == r["docs_in"] - r["docs_out"] >= 0
+
+
+def test_token_shards_account_for_every_doc_and_token(spark, sf_dir):
+    """Bucket totals must partition the corpus: doc and token sums over
+    buckets equal the corpus totals, and shard counts cover the tokens."""
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != ""))).alias("t")
+    ).collect()[0]["t"]
+    rows = registry.QUERIES["q_curate_token_shards"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == n_tokens
+    for r in rows:
+        assert r["n_shards"] * 2048 >= r["total_tokens"]
+        assert (r["n_shards"] - 1) * 2048 < r["total_tokens"]
+
+
+def test_mix_rebalance_keep_counts_are_feasible(spark, sf_dir):
+    """keep_n ≤ n_docs everywhere, and a source is either capped at the
+    target or fully kept with the deficit reported."""
+    rows = registry.QUERIES["q_curate_mix_rebalance"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["keep_n"] <= r["n_docs"]
+        assert r["keep_n"] <= r["target_n"]
+        if r["n_docs"] >= r["target_n"]:
+            assert r["keep_n"] == r["target_n"] and r["deficit"] == 0
+        else:
+            assert r["keep_n"] == r["n_docs"]
+            assert r["deficit"] == r["target_n"] - r["n_docs"]
