@@ -11,7 +11,12 @@ cross-session determinism (ALS factor init, KMeans seeding, Arrow batch
 boundaries are the suspects).
 
 Usage:
-    cd /tmp && python /root/repo/scripts/presample_verify.py OUT.json [SF_DIR] [N_KEYS]
+    cd /tmp && python /root/repo/scripts/presample_verify.py OUT.json [SF_DIR] [N_KEYS] [ROUND]
+
+ROUND (optional) simulates a FUTURE round's registration order — the keys are
+re-ordered per ``registry._module_order(ROUND)`` (reconstructed from each
+query function's module, as tests/test_registry_rotation.py does) so a later
+round's sample window can be pre-verified before the driver reaches it.
 
 Exit code 0 iff every oracle compare passes (rows-only keys just need to run).
 """
@@ -25,10 +30,24 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _keys_for_round(rnd: int) -> list[str]:
+    import importlib
+
+    from recommendersystems_bigdata_spark import registry
+
+    registry.load_all()
+    keys: list[str] = []
+    for mod in registry._module_order(rnd):
+        importlib.import_module(mod)
+        keys.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
+    return keys
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/presample.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     n_keys = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    round_override = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from pyspark.sql import SparkSession
 
@@ -46,7 +65,8 @@ def main() -> int:
     )
 
     qs, osql = e.queries(), e.oracle_sql()
-    sample = list(qs)[:n_keys]
+    ordered = _keys_for_round(round_override) if round_override is not None else list(qs)
+    sample = ordered[:n_keys]
     con = duckdb_connection(sf_dir)
     results: dict[str, dict] = {}
     fails = 0
