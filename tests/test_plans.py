@@ -417,3 +417,69 @@ def test_topk_rank_windows_run_after_limit(q):
         assert wi == -1 or wi < ti, (
             f"{key}: rank window is not above the limited frame\n{plan}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Whole-registry scale-killer sweep
+# ---------------------------------------------------------------------------
+
+# Adjudicated exceptions (SCALE.md "Whole-registry plan audit"): every entry
+# must name WHY the node is bounded. A new key appearing here requires the
+# same adjudication.
+_BNLJ_ALLOWED = {
+    # 1-row global-total broadcasts (the ntile/ratio pattern): the nested
+    # loop's build side is a single aggregate row, so it is O(n·1).
+    "q_win_ntile", "q_rfm_segmentation", "q_quantile_binning",
+    "q_decile_lift", "q_gini_concentration", "q_abc_pareto",
+    "q_win_ratio_to_report", "q_agg_zscore_outliers", "q_agg_iqr_outliers",
+    "q_anomaly_mad", "q_drift_chi2", "q_ab_test_proportions",
+    "q_feature_minmax", "q_curate_mix_rebalance", "q_agg_moments",
+    "q_vocab_growth", "q_dedup_density_estimate", "q_dedup_rate_report",
+    "q_embedding_outliers", "q_embedding_truncation", "q_kfold_split",
+    "q_text_lm_score", "q_repeat_purchase_rate", "q_skew_report",
+    # scalar-subquery shape: the build side is ONE row (a global threshold,
+    # mean, count, or max-timestamp) broadcast against the corpus
+    "q_subquery_in",      # acctbal ≥ scalar threshold row
+    "q_rmse",             # global error aggregate row
+    "q_tfidf_topterm",    # corpus doc-count row for the IDF term
+    "q_user_inactivity",  # as-of (max ts) row
+    "q_ranking_metrics",  # global user/metric total rows
+    # genuinely tiny fixed-size side (≤ a handful of rows by construction)
+    "q_join_cross_topn",  # §2 c9: deliberate bounded cross join, LIMIT'd
+    "q_resample_ffill",   # calendar spine × key list, both bounded
+    "q_interval_concurrency",  # type-cardinality-bounded event types
+    "q_rolling_active_users",  # day spine bounded by (dmin, dmax) row
+    "q_knn_label_vote",   # fixed 20-query set broadcast vs candidates
+}
+_CARTESIAN_ALLOWED = {
+    "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
+    "q_join_cross_topn",  # the §2 cross-join operator itself
+}
+
+# Building a streaming query EXECUTES the stream (memory-sink batch run);
+# sink queries write files. Both are exercised by their own tests — the
+# static plan sweep covers every other key.
+_SWEEP_EXCLUDED_MODULES = {
+    "recommendersystems_bigdata_spark.streaming.stream_queries",
+}
+
+
+def _sweep_keys():
+    registry.load_all()
+    return sorted(
+        k for k, fn in registry.QUERIES.items()
+        if fn.__module__ not in _SWEEP_EXCLUDED_MODULES
+    )
+
+
+@pytest.mark.parametrize("key", _sweep_keys())
+def test_no_unadjudicated_scale_killers(q, key):
+    """No engine-authored plan may contain a CartesianProduct or a
+    BroadcastNestedLoopJoin unless the key is on the adjudicated
+    allowlist naming why the node's input is bounded. This is the blanket
+    guard that keeps the per-query plan audits from regressing silently."""
+    plan = physical_plan(q(key))
+    if "CartesianProduct" in plan:
+        assert key in _CARTESIAN_ALLOWED, f"{key}: unadjudicated CartesianProduct\n{plan}"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert key in _BNLJ_ALLOWED, f"{key}: unadjudicated BroadcastNestedLoopJoin\n{plan}"
