@@ -387,3 +387,126 @@ def q_curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("leaked"), 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 4
         ).alias("leak_rate"),
     )
+
+
+@query(
+    "q_curate_dedup_sensitivity",
+    oracle=f"""
+    WITH {_BAND_CAND_SQL},
+    jac AS (
+      SELECT CAST(floor(len(list_intersect(ta.ts, tb.ts)) * 1000000.0
+                        / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))))
+                  AS BIGINT) AS jaccard_x1e6
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b
+    ),
+    thresholds(thr) AS (VALUES (500000), (700000), (800000), (900000))
+    SELECT CAST(thr AS BIGINT) AS threshold_x1e6,
+           CAST(sum(CASE WHEN jaccard_x1e6 >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_pairs
+    FROM thresholds CROSS JOIN jac
+    GROUP BY thr
+    """,
+)
+def q_curate_dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep: near-dup pair counts at Jaccard
+    thresholds 0.5 / 0.7 / 0.8 / 0.9 over the banded candidate set — the
+    one-pass curve a pipeline inspects before committing to a dedup
+    threshold (too low deletes distinct docs; too high leaves templates).
+
+    Scale: the expensive part (candidate generation + exact Jaccard) runs
+    ONCE; the four thresholds are conditional sums over the same pair
+    scores, folded map-side into one fixed-width aggregate row per
+    threshold. Candidates are the capped band buckets (never all-pairs),
+    so the sweep costs the same as one verify pass."""
+    from recommendersystems_bigdata_spark.ml.dedup import band_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = band_candidates(spark, sf_dir)
+    tok = docs.select("doc_id", F.array_distinct(_tokens()).alias("ts"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    jac = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(F.floor(inter.cast("double") * 1_000_000 / union).cast("long").alias("j"))
+    )
+    thr = spark.range(0).sparkSession.createDataFrame(
+        [(500_000,), (700_000,), (800_000,), (900_000,)], "threshold_x1e6 long"
+    )
+    return (
+        jac.join(F.broadcast(thr), how="cross")
+        .groupBy("threshold_x1e6")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("threshold_x1e6"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs")
+        )
+    )
+
+
+@query(
+    "q_curate_source_overlap",
+    oracle=f"""
+    WITH {_BAND_CAND_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    hits AS (
+      SELECT least(sa.source, sb.source) AS source_x,
+             greatest(sa.source, sb.source) AS source_y
+      FROM cand c
+      JOIN src sa ON sa.doc_id = c.doc_a
+      JOIN src sb ON sb.doc_id = c.doc_b AND sa.source <> sb.source
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b
+      WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0
+            / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= 0.9
+    )
+    SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM hits GROUP BY source_x, source_y
+    """,
+)
+def q_curate_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: for each unordered source pair, the number
+    of verified cross-source near-dup pairs (Jaccard ≥ 0.9 over banded
+    candidates) — the aggregate that tells a curator WHICH crawl sources
+    republish each other, turning m3's pair list into a drop/down-weight
+    decision per source pair.
+
+    Scale: same bounded pipeline as m3 (capped band buckets → broadcast
+    source map → candidate-bounded verify), collapsed to at most
+    |sources|² rows by one groupBy on the normalized pair key."""
+    from recommendersystems_bigdata_spark.ml.dedup import band_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = band_candidates(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    tok = docs.select("doc_id", F.array_distinct(_tokens()).alias("ts"))
+    pairs = (
+        cand.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))),
+            "doc_b",
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(inter * 1.0 / union >= 0.9)
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

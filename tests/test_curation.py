@@ -121,3 +121,33 @@ def test_mix_rebalance_keep_counts_are_feasible(spark, sf_dir):
         else:
             assert r["keep_n"] == r["n_docs"]
             assert r["deficit"] == r["target_n"] - r["n_docs"]
+
+
+def test_dedup_sensitivity_is_monotone_and_anchored(spark, sf_dir):
+    """Pair counts must be non-increasing in the threshold, and the sweep
+    must anchor to the lsh-join (same candidate generator, same Jaccard
+    arithmetic): the 0.9 row equals the lsh-join's count of pairs at
+    jaccard_x1e6 ≥ 900000, and the 0.5 row its count at ≥ 500000."""
+    rows = {
+        r["threshold_x1e6"]: r["n_dup_pairs"]
+        for r in registry.QUERIES["q_curate_dedup_sensitivity"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [500_000, 700_000, 800_000, 900_000]
+    seq = [rows[t] for t in sorted(rows)]
+    assert seq == sorted(seq, reverse=True)  # monotone non-increasing
+    lsh = registry.QUERIES["q_dedup_lsh_join"](spark, sf_dir)
+    n_90 = lsh.filter(F.col("jaccard_x1e6") >= 900_000).count()
+    assert rows[900_000] == n_90
+    n_50 = lsh.filter(F.col("jaccard_x1e6") >= 500_000).count()
+    assert rows[500_000] == n_50
+
+
+def test_source_overlap_totals_match_cross_source_pairs(spark, sf_dir):
+    """The overlap matrix is m3's pair list aggregated: its pair total
+    must equal the cross-source screen's row count, and every (x, y) key
+    must be normalized (x < y)."""
+    m = registry.QUERIES["q_curate_source_overlap"](spark, sf_dir).collect()
+    n_pairs = registry.QUERIES["q_dedup_cross_source"](spark, sf_dir).count()
+    assert sum(r["n_dup_pairs"] for r in m) == n_pairs
+    for r in m:
+        assert r["source_x"] < r["source_y"]

@@ -450,6 +450,7 @@ _BNLJ_ALLOWED = {
     "q_interval_concurrency",  # type-cardinality-bounded event types
     "q_rolling_active_users",  # day spine bounded by (dmin, dmax) row
     "q_knn_label_vote",   # fixed 20-query set broadcast vs candidates
+    "q_curate_dedup_sensitivity",  # 4-row threshold table broadcast
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
