@@ -2,10 +2,11 @@
 the dataset-assembly decisions a large-scale training-data pipeline makes
 AFTER per-document filtering and dedup — deterministic downsampling,
 source-mixture rebalancing, cross-source near-dup screening, a staged
-quality-filter funnel, token-budget shard planning, and train/test split
-leakage accounting.
+quality-filter funnel, token-budget shard planning, train/test split
+leakage accounting, a dedup-threshold sensitivity sweep, and the
+source-overlap matrix.
 
-All six are SQL-oracle-checked (hash-exact: every score is integer
+All eight are SQL-oracle-checked (hash-exact: every score is integer
 arithmetic or a single rounded ratio of exact integers). Scale notes:
 
 - sampling / split-leakage key on deterministic md5 hashes, so reruns and
