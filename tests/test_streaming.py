@@ -255,3 +255,50 @@ def test_watermark_tumble_invariant_to_chunk_count(spark, sf_dir):
         f"emitted set changed with chunking: {len(baseline)} baseline rows "
         f"vs {len(rechunked)} at 16 chunks"
     )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "key",
+    [
+        "q_stream_static_join",
+        "q_stream_stream_join",
+        "q_stream_dedup",
+        "q_stream_session_window",
+    ],
+)
+def test_stream_result_invariant_to_chunk_count(spark, sf_dir, key):
+    """Chunk-count invariance for every oracle-checked streaming query
+    (the watermark-tumble case above established the pattern): the final
+    emitted set is a property of the data and the watermark, never of the
+    micro-batch boundaries. Each query re-runs with 16 chunks instead of
+    the default 4 and must produce the identical row set."""
+    from recommendersystems_bigdata_spark import registry
+    from recommendersystems_bigdata_spark.streaming import stream_queries as sq
+
+    registry.load_all()
+    fn = registry.QUERIES[key]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = rows(fn(spark, sf_dir))
+    assert baseline, f"{key}: baseline stream emitted nothing"
+
+    saved_chunks = sq.N_STREAM_CHUNKS
+    saved_cache = dict(sq._STREAM_SRC)
+    try:
+        sq.N_STREAM_CHUNKS = 16
+        sq._STREAM_SRC.clear()
+        rechunked = rows(fn(spark, sf_dir))
+    finally:
+        sq.N_STREAM_CHUNKS = saved_chunks
+        sq._STREAM_SRC.clear()
+        sq._STREAM_SRC.update(saved_cache)
+
+    assert rechunked == baseline, (
+        f"{key}: emitted set changed with chunking "
+        f"({len(baseline)} rows at 4 chunks vs {len(rechunked)} at 16)"
+    )
