@@ -104,3 +104,69 @@ def test_random_filter_agg_matches_duckdb(spark, sf_dir, duck, spec):
     oracle_pdf = duck.execute(_sql_text(preds, combiner, group_col)).df()
     res = compare_frames("property", spark_pdf, oracle_pdf)
     assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Join-surface fuzzing: random (join type × predicate) compositions over
+# customer ⋈ nation must match DuckDB. Covers the null-extension and
+# existence semantics the hand-written §2 join queries fix at one predicate.
+# ---------------------------------------------------------------------------
+
+join_spec = st.tuples(
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+    st.integers(min_value=0, max_value=24),   # nation-key threshold
+    st.floats(min_value=-500, max_value=8000, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),                                         # acctbal threshold
+)
+
+
+@pytest.fixture(scope="module")
+def duck2(sf_dir):
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=join_spec)
+def test_random_join_matches_duckdb(spark, sf_dir, duck2, spec):
+    jt, nk_thr, bal_thr = spec
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= bal_thr)
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= nk_thr)
+    cond = cust.c_nationkey == nat.n_nationkey
+    if jt in ("semi", "anti"):
+        joined = cust.join(nat, cond, f"left_{jt}").select(
+            "c_custkey", F.round("c_acctbal", 2).alias("bal")
+        )
+        op = "IN" if jt == "semi" else "NOT IN"
+        sql = f"""
+            SELECT c_custkey, round(c_acctbal, 2) AS bal
+            FROM customer WHERE c_acctbal >= {bal_thr}
+              AND c_nationkey {op}
+                  (SELECT n_nationkey FROM nation WHERE n_nationkey <= {nk_thr})
+        """
+    else:
+        joined = cust.join(nat, cond, jt).select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            "n_name",
+        )
+        sql = f"""
+            SELECT c_custkey, round(c_acctbal, 2) AS bal, n_name
+            FROM customer {'LEFT' if jt == 'left' else ''} JOIN
+                 (SELECT * FROM nation WHERE n_nationkey <= {nk_thr}) n
+              ON c_nationkey = n.n_nationkey
+            WHERE c_acctbal >= {bal_thr}
+        """
+    res = compare_frames("join-property", joined.toPandas(), duck2.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
