@@ -343,27 +343,43 @@ def band_candidates(spark: SparkSession, sf_dir: str, bucket_cap: int = _BUCKET_
     work — the pairwise verifier (``q_dedup_lsh_join``) and the
     connected-components clustering (``q_dedup_clusters``) both consume
     it, so the O(n·bands) bucketed shape (never all-pairs) is the only
-    path from corpus to candidate edges. The bucket-size gate is a window
-    count over the band key: ONE shuffle, whose partitioning the
-    self-join below reuses (vs. a groupBy+join gate, which shuffles the
-    same key twice)."""
+    path from corpus to candidate edges.
+
+    Both bands run through ONE fused pipeline: the two band keys explode
+    into kind-prefixed ``(doc_id, bk)`` rows ("0:<band0>" / "1:<band1>"),
+    so a single window-count gate and a single self-join cover both bands
+    (vs. a per-band gate+join pair, which runs the signature subtree four
+    times and shuffles twice as often — in the downstream l19 plan the
+    fusion cuts 17 exchanges to 12, 8 parquet scans to 6, and 4 window
+    passes to 2; wall time at sf0.1 is scheduling-dominated and neutral,
+    but at 100 TB scans and shuffles are the cost). The kind prefix keeps buckets
+    band-local, so the cap semantics are unchanged: a doc dropped from an
+    over-full band0 bucket still pairs through its band1 key. The gate is
+    a window count over ``bk``: ONE shuffle, whose partitioning the
+    self-join reuses (vs. a groupBy+join gate, which shuffles the same
+    key twice)."""
     sig = q_minhash_signatures(spark, sf_dir)
-
-    def pair(band: str) -> DataFrame:
-        w = Window.partitionBy(band)
-        s = (
-            sig.select("doc_id", band)
-            .withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
-        )
-        a, b = s.alias("a"), s.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    return pair("band0").unionByName(pair("band1")).distinct()
+    ex = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("0:"), F.col("band0")),
+                F.concat(F.lit("1:"), F.col("band1")),
+            )
+        ).alias("bk"),
+    )
+    w = Window.partitionBy("bk")
+    s = (
+        ex.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 # DuckDB twin of band_candidates — CTE block shared by the l19 and l15
@@ -678,14 +694,14 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is exact integers floor-scaled, immune to float summation
     order.
 
-    The signature subtree inside band_candidates feeds four join branches
-    (a/b × band0/band1) and recomputes in each (no Catalyst subtree
-    reuse; 16 HashAggregates in the plan). Measured at sf0.1 the
-    recompute is CHEAPER than materializing (localCheckpoint: 1.8–2.3 s
-    vs 1.5 s) because the build stays fused in codegen. At 100 TB the
-    trade reverses — signatures are written once as a table and every
-    dedup pass reads them — which is a storage-layout decision, not a
-    query-plan one.
+    The signature subtree inside band_candidates feeds the fused
+    self-join's two legs and recomputes in each (no Catalyst subtree
+    reuse; 12 HashAggregates in the plan — down from 16 before the
+    band fusion). Measured at sf0.1 the recompute is CHEAPER than
+    materializing (localCheckpoint: 1.8–2.3 s vs 1.5 s) because the
+    build stays fused in codegen. At 100 TB the trade reverses —
+    signatures are written once as a table and every dedup pass reads
+    them — which is a storage-layout decision, not a query-plan one.
     """
     cand = band_candidates(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
