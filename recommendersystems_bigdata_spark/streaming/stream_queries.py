@@ -19,7 +19,7 @@ import tempfile
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -47,12 +47,22 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, StructTy
 
     The corpus ships events as ONE parquet file; a file stream over it is a
     single micro-batch, which in append mode emits zero closed windows (the
-    watermark advances only between batches). Re-writing the table with
-    ``repartitionByRange(N, "ts")`` produces N files whose ts ranges are
-    disjoint and ascending in file order; stamping ascending mtimes makes
-    the file-stream source (which orders batches by modification time)
-    replay them oldest-first, so the watermark moves strictly forward and
-    streamed results equal the batch twin on every closed window.
+    watermark advances only between batches). The table is re-written as N
+    files whose ts ranges are ascending in file order; stamping ascending
+    mtimes makes the file-stream source (which orders batches by
+    modification time) replay them oldest-first, so the watermark moves
+    strictly forward and streamed results equal the batch twin on every
+    closed window.
+
+    Chunk assignment is an exact row_number split over the (ts, event_id)
+    total order — NOT ``repartitionByRange``, whose boundaries come from
+    reservoir sampling seeded by the RDD id and therefore shift with the
+    session's prior execution history (observed: the per-batch row counts,
+    and with them the foreachBatch and flushed-state outputs, differed
+    between two harnesses running the same queries in different orders).
+    The row_number split makes micro-batch composition a pure function of
+    the data, so every streaming result is reproducible across sessions
+    and orderings.
 
     This stands in for what a production deployment gets for free from a
     Kafka / file-drop source: many ordered arrivals. The rewrite is a
@@ -63,11 +73,24 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, StructTy
         return _STREAM_SRC[key]
     out = tempfile.mkdtemp(prefix="rsbd_stream_src_")
     ev = load_table(spark, sf_dir, "events")  # ts already µs timestamp_ntz
-    ev.repartitionByRange(N_STREAM_CHUNKS, "ts").write.mode("overwrite").parquet(out)
-    parts = sorted(_glob.glob(os.path.join(out, "part-*")))
+    n_rows = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn(
+        "_chunk",
+        ((F.row_number().over(w) - 1) * N_STREAM_CHUNKS / n_rows).cast("int"),
+    )
     base = time.time()
-    for i, p in enumerate(parts):
-        os.utime(p, (base + i, base + i))
+    for i in range(N_STREAM_CHUNKS):
+        before = set(_glob.glob(os.path.join(out, "part-*")))
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+        for p in set(_glob.glob(os.path.join(out, "part-*"))) - before:
+            os.utime(p, (base + i, base + i))
     _STREAM_SRC[key] = (out, ev.schema)
     return _STREAM_SRC[key]
 

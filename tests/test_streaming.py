@@ -257,6 +257,51 @@ def test_watermark_tumble_invariant_to_chunk_count(spark, sf_dir):
     )
 
 
+def test_chunk_composition_is_pure_function_of_data(spark, sf_dir):
+    """Micro-batch composition must be a pure function of the DATA, never
+    of the session's execution history: materializing the chunked stream
+    source twice in one session must give byte-identical per-chunk
+    membership.  The previous ``repartitionByRange`` implementation failed
+    exactly this — its range boundaries come from a reservoir sample
+    seeded by the session's monotonically-increasing RDD id, so a second
+    materialization (or a harness that had run other queries first)
+    produced different chunk boundaries and, with them, different
+    foreachBatch / flushed-state outputs."""
+    import glob
+    import os
+
+    from recommendersystems_bigdata_spark.streaming import stream_queries as sq
+
+    def composition():
+        out, _schema = sq._chunked_events_dir(spark, sf_dir)
+        files = sorted(
+            glob.glob(os.path.join(out, "part-*")), key=lambda p: os.path.getmtime(p)
+        )
+        return [
+            tuple(sorted(r["event_id"] for r in spark.read.parquet(f).collect()))
+            for f in files
+        ]
+
+    saved_cache = dict(sq._STREAM_SRC)
+    try:
+        sq._STREAM_SRC.clear()
+        first = composition()
+        sq._STREAM_SRC.clear()
+        second = composition()
+    finally:
+        sq._STREAM_SRC.clear()
+        sq._STREAM_SRC.update(saved_cache)
+
+    assert len(first) == sq.N_STREAM_CHUNKS
+    assert first == second, "chunk membership differed between materializations"
+    # closed-form split: chunk i holds rows with (rn-1)*N div n_rows == i,
+    # so sizes differ by at most 1 and every row appears exactly once.
+    sizes = [len(c) for c in first]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    all_ids = [e for c in first for e in c]
+    assert len(all_ids) == len(set(all_ids)) == sum(sizes)
+
+
 import pytest as _pytest
 
 
