@@ -170,3 +170,253 @@ def test_random_join_matches_duckdb(spark, sf_dir, duck2, spec):
         """
     res = compare_frames("join-property", joined.toPandas(), duck2.execute(sql).df())
     assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Window-surface fuzzing: random (partition expr × function × direction)
+# window specs over orders must match DuckDB. The ORDER BY is made total
+# (o_totalprice with an o_orderkey tiebreak) so every function — including
+# row_number and lag — is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+WIN_FNS = (
+    "row_number",
+    "rank",
+    "dense_rank",
+    "lag",
+    "lead",
+    "running_sum",
+    "moving_avg",
+    "ntile4",
+    "percent_rank",
+    "cume_dist",
+)
+
+win_spec = st.tuples(
+    st.sampled_from(["o_orderpriority", "o_orderstatus", "o_custkey % 10"]),
+    st.sampled_from(WIN_FNS),
+    st.booleans(),  # descending primary order
+)
+
+
+@pytest.fixture(scope="module")
+def duck_orders(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _win_exprs(fn):
+    """(spark_expr_builder, sql_select_expr) pairs per window function."""
+    sql = {
+        "row_number": "row_number() OVER w",
+        "rank": "rank() OVER w",
+        "dense_rank": "dense_rank() OVER w",
+        "lag": "round(lag(o_totalprice) OVER w, 2)",
+        "lead": "round(lead(o_totalprice) OVER w, 2)",
+        # exact integer cents inside the frame; one identical fp division at
+        # the end — sliding-frame float association differs between engines
+        # (DuckDB segment tree vs Spark recompute), integers do not.
+        "running_sum": "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)",
+        "moving_avg": "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / (100.0 * count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 4)",
+        "ntile4": "ntile(4) OVER w",
+        "percent_rank": "round(percent_rank() OVER w, 6)",
+        "cume_dist": "round(cume_dist() OVER w, 6)",
+    }[fn]
+
+    def build(w):
+        if fn == "row_number":
+            return F.row_number().over(w)
+        if fn == "rank":
+            return F.rank().over(w)
+        if fn == "dense_rank":
+            return F.dense_rank().over(w)
+        if fn == "lag":
+            return F.round(F.lag("o_totalprice").over(w), 2)
+        if fn == "lead":
+            return F.round(F.lead("o_totalprice").over(w), 2)
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        if fn == "running_sum":
+            run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.round(F.sum(cents).over(run) / 100.0, 2)
+        if fn == "moving_avg":
+            mov = w.rowsBetween(-3, Window.currentRow)
+            return F.round(
+                F.sum(cents).over(mov) / (100.0 * F.count(F.lit(1)).over(mov)), 4
+            )
+        if fn == "ntile4":
+            return F.ntile(4).over(w)
+        if fn == "percent_rank":
+            return F.round(F.percent_rank().over(w), 6)
+        return F.round(F.cume_dist().over(w), 6)
+
+    return build, sql
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=win_spec)
+def test_random_window_matches_duckdb(spark, sf_dir, duck_orders, spec):
+    part_expr, fn, desc = spec
+    direction = "DESC" if desc else "ASC"
+    build, sql_expr = _win_exprs(fn)
+    order = [
+        F.col("o_totalprice").desc() if desc else F.col("o_totalprice").asc(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.partitionBy(F.expr(part_expr)).orderBy(*order)
+    spark_pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", build(w).alias("v"))
+        .toPandas()
+    )
+    sql = f"""
+        SELECT o_orderkey, {sql_expr} AS v
+        FROM orders
+        WINDOW w AS (PARTITION BY {part_expr}
+                     ORDER BY o_totalprice {direction}, o_orderkey)
+    """
+    res = compare_frames("win-property", spark_pdf, duck_orders.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Set-operation fuzzing: UNION [ALL] / INTERSECT / EXCEPT between two
+# randomly thresholded customer subsets. Exercises the distinct semantics
+# and null handling the fixed §2 set-op queries pin at one operating point.
+# ---------------------------------------------------------------------------
+
+setop_spec = st.tuples(
+    st.sampled_from(["union_all", "union", "intersect", "except"]),
+    st.floats(min_value=-500, max_value=8000, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),
+    st.integers(min_value=0, max_value=24),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=setop_spec)
+def test_random_setop_matches_duckdb(spark, sf_dir, duck, spec):
+    op, bal_thr, nk_thr = spec
+    cust = load_table(spark, sf_dir, "customer")
+    proj = ["c_nationkey", "c_mktsegment"]
+    a = cust.filter(F.col("c_acctbal") >= bal_thr).select(*proj)
+    b = cust.filter(F.col("c_nationkey") <= nk_thr).select(*proj)
+    if op == "union_all":
+        out = a.unionAll(b)
+        sql_op = "UNION ALL"
+    elif op == "union":
+        out = a.union(b).distinct()
+        sql_op = "UNION"
+    elif op == "intersect":
+        out = a.intersect(b)
+        sql_op = "INTERSECT"
+    else:
+        out = a.subtract(b)  # EXCEPT = distinct-set difference
+        sql_op = "EXCEPT"
+    sql = f"""
+        SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal >= {bal_thr}
+        {sql_op}
+        SELECT c_nationkey, c_mktsegment FROM customer WHERE c_nationkey <= {nk_thr}
+    """
+    res = compare_frames("setop-property", out.toPandas(), duck.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation fuzzing: ROLLUP / CUBE / GROUPING SETS over
+# random dimension orders and predicates. The §2 queries fix one dimension
+# pair; this sweeps the grouping-null interaction across the lattice.
+# ---------------------------------------------------------------------------
+
+grouping_spec = st.tuples(
+    st.sampled_from(["rollup", "cube"]),
+    st.permutations(["c_mktsegment", "c_nationkey"]),
+    st.floats(min_value=-500, max_value=8000, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=grouping_spec)
+def test_random_grouping_matches_duckdb(spark, sf_dir, duck, spec):
+    kind, dims, bal_thr = spec
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= bal_thr)
+    grouped = cust.rollup(*dims) if kind == "rollup" else cust.cube(*dims)
+    spark_pdf = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    ).toPandas()
+    sql = f"""
+        SELECT {dims[0]}, {dims[1]}, count(*) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer WHERE c_acctbal >= {bal_thr}
+        GROUP BY {kind.upper()} ({dims[0]}, {dims[1]})
+    """
+    res = compare_frames("grouping-property", spark_pdf, duck.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Scalar-expression fuzzing: date parts and 1-based substring over orders.
+# Sticks to the part/argument ranges where ANSI semantics pin both engines
+# (positive start, year/quarter/month/day parts).
+# ---------------------------------------------------------------------------
+
+scalar_spec = st.tuples(
+    st.sampled_from(["year", "quarter", "month", "day"]),
+    st.integers(min_value=1, max_value=8),   # substring start (1-based)
+    st.integers(min_value=1, max_value=10),  # substring length
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=scalar_spec)
+def test_random_scalar_matches_duckdb(spark, sf_dir, duck_orders, spec):
+    part, start, length = spec
+    part_fn = {"year": F.year, "quarter": F.quarter, "month": F.month, "day": F.dayofmonth}[part]
+    spark_pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            part_fn("o_orderdate").cast("long").alias("p"),
+            F.substring("o_orderpriority", start, length).alias("s"),
+            F.length("o_orderpriority").cast("long").alias("slen"),
+        )
+        .toPandas()
+    )
+    sql = f"""
+        SELECT o_orderkey,
+               CAST(extract({part} FROM o_orderdate) AS BIGINT) AS p,
+               substring(o_orderpriority, {start}, {length}) AS s,
+               CAST(length(o_orderpriority) AS BIGINT) AS slen
+        FROM orders
+    """
+    res = compare_frames("scalar-property", spark_pdf, duck_orders.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
