@@ -511,3 +511,96 @@ def q_curate_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+_SHUFFLE_SEED = "42"  # seed string mixed into the permutation hash
+_SHUFFLE_SHARD_DOCS = 64  # docs per contiguous output shard
+
+
+@query(
+    "q_curate_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(rn AS BIGINT) AS pos,
+           CAST(floor((rn - 1) / {_SHUFFLE_SHARD_DOCS}) AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents
+    )
+    """,
+)
+def q_curate_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + contiguous shard assignment:
+    permute the corpus by md5(seed || doc_id), number it globally, and cut
+    the permuted order into fixed-size shards — the permute-before-sharding
+    step every training pipeline runs so adjacent training batches don't
+    replay crawl order. Seeded hashing (not RNG) means a rerun, a backfill,
+    or a different engine reproduces the SAME permutation.
+
+    Scale: the hash is computed map-side; the global position comes from
+    the distributed two-pass rank (`functions/ranks.py` — range shuffle on
+    the hash key, per-partition counts, no single-partition exchange), so
+    the permutation of a 100 TB corpus costs one range-partitioned sort,
+    which is also exactly the layout the shard writer wants (shards are
+    contiguous runs of the range partitioning)."""
+    from recommendersystems_bigdata_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias("_k"),
+    )
+    ranked = global_row_number(docs, [F.col("_k"), F.col("doc_id")], "pos")
+    return ranked.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor((F.col("pos") - 1) / _SHUFFLE_SHARD_DOCS).cast("long").alias("shard"),
+    )
+
+
+_INTERLEAVE_SEED = "17"
+
+
+@query(
+    "q_curate_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             md5('{_INTERLEAVE_SEED}' || CAST(doc_id AS VARCHAR)) AS k,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_INTERLEAVE_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS sr
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY sr, k, doc_id) AS BIGINT) AS pos
+    FROM ranked
+    """,
+)
+def q_curate_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleaving: shuffle WITHIN each source
+    (seeded hash order), then emit rank-1 docs of every source first, then
+    rank-2, and so on — the mixture scheduler that keeps a training stream
+    alternating sources evenly instead of draining one source at a time,
+    without storing per-source state.
+
+    Scale: the per-source rank is one partitioned window (shuffle on the
+    source key, skew bounded by the per-source doc count); the global
+    interleave position reuses the distributed two-pass rank over
+    (source_rank, hash) — no single-partition exchange. Both ordering keys
+    are recompute-deterministic (hash arithmetic), satisfying the ranks.py
+    caller contract."""
+    from recommendersystems_bigdata_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(_INTERLEAVE_SEED), F.col("doc_id").cast("string"))).alias("_k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("_k"), F.col("doc_id"))
+    ranked = docs.withColumn("_sr", F.row_number().over(w))
+    out = global_row_number(ranked, [F.col("_sr"), F.col("_k"), F.col("doc_id")], "pos")
+    return out.select("doc_id", "source", F.col("pos").cast("long").alias("pos"))

@@ -151,3 +151,50 @@ def test_source_overlap_totals_match_cross_source_pairs(spark, sf_dir):
     assert sum(r["n_dup_pairs"] for r in m) == n_pairs
     for r in m:
         assert r["source_x"] < r["source_y"]
+
+
+def test_global_shuffle_is_permutation_with_even_shards(spark, sf_dir):
+    """m9: pos must be exactly 1..n (a permutation), every shard except the
+    last must hold exactly 64 docs, and the permutation must be identical
+    under a different physical layout (seeded hash, not RNG)."""
+    fn = registry.QUERIES["q_curate_global_shuffle"]
+    rows = fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    by_shard = {}
+    for r in rows:
+        by_shard[r["shard"]] = by_shard.get(r["shard"], 0) + 1
+    last = max(by_shard)
+    assert all(c == 64 for s, c in by_shard.items() if s != last)
+    assert 1 <= by_shard[last] <= 64
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        relaid = {(r["doc_id"], r["pos"]) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert relaid == {(r["doc_id"], r["pos"]) for r in rows}
+
+
+def test_interleave_alternates_sources_round_robin(spark, sf_dir):
+    """m10: walking the output in pos order, the per-source rank sequence
+    must be non-decreasing (all rank-1 docs of every source precede any
+    rank-2 doc), and each contiguous rank block must contain every source
+    that still has docs at that rank — the round-robin property."""
+    fn = registry.QUERIES["q_curate_interleave"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r["pos"])
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    seen_per_source = {}
+    ranks = []
+    for r in rows:
+        sr = seen_per_source.get(r["source"], 0) + 1
+        seen_per_source[r["source"]] = sr
+        ranks.append(sr)
+    assert ranks == sorted(ranks), "per-source ranks must be emitted in waves"
+    # every source appears exactly once in the first wave
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    n_sources = load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    first_wave = {r["source"] for r in rows[:n_sources]}
+    assert len(first_wave) == n_sources
