@@ -420,3 +420,66 @@ def test_random_scalar_matches_duckdb(spark, sf_dir, duck_orders, spec):
     """
     res = compare_frames("scalar-property", spark_pdf, duck_orders.execute(sql).df())
     assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket fuzzing: tumbling windows at random widths over events.
+# Spark's `window(ts, W)` is epoch-aligned; the oracle spells the same
+# bucket arithmetic explicitly (floor(epoch / W) * W) so the alignment
+# convention itself is what's under test — DuckDB's time_bucket uses a
+# 2000-01-01 origin and would NOT match at widths that don't divide the
+# epoch gap, which is exactly the class of bug this sweep would catch.
+# ---------------------------------------------------------------------------
+
+tumble_spec = st.tuples(
+    st.sampled_from([3, 5, 7, 11, 15, 30, 60, 90, 120]),  # width, minutes
+    st.booleans(),  # filter to a single event_type first
+)
+
+
+@pytest.fixture(scope="module")
+def duck_events(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=18,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=tumble_spec)
+def test_random_tumble_matches_duckdb(spark, sf_dir, duck_events, spec):
+    width_min, filtered = spec
+    ev = load_table(spark, sf_dir, "events")
+    if filtered:
+        ev = ev.filter(F.col("event_type") == "click")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    spark_pdf = (
+        ev.groupBy(F.window("ts", f"{width_min} minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+        .toPandas()
+    )
+    w_sec = width_min * 60
+    where = "WHERE event_type = 'click'" if filtered else ""
+    sql = f"""
+        SELECT CAST(to_timestamp(
+                 (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // {w_sec})
+                 * {w_sec}) AS TIMESTAMP) AS w_start,
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+                 AS total_value
+        FROM events {where}
+        GROUP BY 1
+    """
+    res = compare_frames("tumble-property", spark_pdf, duck_events.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
