@@ -484,3 +484,18 @@ def test_no_unadjudicated_scale_killers(q, key):
         assert key in _CARTESIAN_ALLOWED, f"{key}: unadjudicated CartesianProduct\n{plan}"
     if "BroadcastNestedLoopJoin" in plan:
         assert key in _BNLJ_ALLOWED, f"{key}: unadjudicated BroadcastNestedLoopJoin\n{plan}"
+
+
+def test_global_shuffle_offset_join_is_broadcast(q):
+    """m9/m10: the two-pass rank's range shuffle sits BEFORE the ranks.py
+    localCheckpoint (lineage-truncated, so not in this plan — pinned
+    instead by tests/test_ranks.py); what the post-checkpoint plan must
+    show is that the per-partition offset table joins back by BROADCAST
+    (no second corpus shuffle) and the only SinglePartition exchange is
+    the offset frame, whose input is one row per shuffle partition."""
+    for key in ("q_curate_global_shuffle", "q_curate_interleave"):
+        plan = physical_plan(q(key))
+        assert "BroadcastHashJoin" in plan, f"{key}:\n{plan}"
+        assert plan.count("Exchange SinglePartition") <= 1, f"{key}:\n{plan}"
+        # the corpus side is a checkpoint scan — no re-shuffle of the data
+        assert "Exchange hashpartitioning(doc_id" not in plan, f"{key}:\n{plan}"
