@@ -745,3 +745,152 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list,
+) -> DataFrame:
+    """General backward as-of join, merge-based (the scalable form).
+
+    For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same ``key`` — without a range join.
+    Both sides are unioned into one (key, ts)-sorted stream (right rows
+    sort BEFORE left rows at equal ts, so the match is inclusive), and
+    the right payload is carried forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding row frame. One shuffle on the key, state
+    linear in the window frame — the same plan shape at 100 TB, vs. the
+    O(|left|·|right-per-key|) blow-up of the inequality-join spelling.
+
+    Returns every left row plus the carried ``_asof_ts`` (the matched
+    right timestamp, null if no prior right row) and the carried payload
+    columns. Callers choose inner/left semantics and any tolerance bound
+    by filtering on ``_asof_ts`` themselves.
+
+    Requires (key, ts) unique per side for a deterministic result (the
+    caller dedups ties first, picking its keep-best row — same contract
+    as every engine's asof implementation).
+    """
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Carry ONE struct, not parallel columns: a right row with a null
+    # payload FIELD must not tear (ignorenulls picking that field from an
+    # older row) — the struct itself is non-null for every right row.
+    pack = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ),
+    )
+    carried = F.last(pack, ignorenulls=True).over(w)
+    return (
+        l.unionByName(r)
+        .select("_side", *left_cols, carried.alias("_m"))
+        .filter(F.col("_side") == 1)
+        .select(
+            *left_cols,
+            F.col("_m.ts").alias("_asof_ts"),
+            *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+        )
+    )
+
+
+@query(
+    "q_join_asof_general",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS bts,
+             event_id AS buy_event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS MATERIALIZED (
+      -- MATERIALIZED fences the tolerance predicate out of the ASOF
+      -- binder (it would otherwise be pushed in and read as a second
+      -- ASOF inequality, a BinderException)
+      SELECT c.event_id, c.user_id, c.ts,
+             b.buy_event_id AS buy_event_id,
+             b.bts AS buy_ts,
+             round(b.value, 2) AS buy_value
+      FROM clicks c
+      ASOF JOIN buys b
+        ON c.user_id = b.user_id AND b.bts <= c.ts
+    )
+    SELECT * FROM joined WHERE buy_ts >= ts - INTERVAL 30 DAY
+    """,
+)
+def q_join_asof_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c10b — GENERAL as-of join (interleaved timestamps): each click
+    event paired with the same user's most recent purchase at or before
+    the click, within a 30-day tolerance. Unlike c10 (whose right side is
+    hoisted to rn=1 because all orders predate all events), clicks and
+    purchases interleave, so this exercises the true merge-based as-of:
+    union both sides, carry the purchase payload forward per user with an
+    ignore-nulls last() over the (ts, side) order, then keep left rows
+    inside tolerance.
+
+    Scale: one shuffle on user_id for the merged stream; no inequality
+    join, no per-left-row right scan. DuckDB's native ASOF JOIN is the
+    oracle — the engine-portability proof for the carried-forward form.
+
+    (user_id, ts) is unique corpus-wide [verified], so no tie-dedup pass
+    is needed; the general contract is documented on asof_backward_join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("buy_event_id"),
+        F.round("value", 2).alias("buy_value"),
+    )
+    joined = asof_backward_join(
+        clicks,
+        buys,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["buy_event_id", "buy_value"],
+    )
+    return (
+        joined.filter(
+            F.col("_asof_ts").isNotNull()
+            & (F.col("_asof_ts") >= F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "buy_event_id",
+            F.col("_asof_ts").alias("buy_ts"),
+            "buy_value",
+        )
+    )

@@ -483,3 +483,71 @@ def test_random_tumble_matches_duckdb(spark, sf_dir, duck_events, spec):
     """
     res = compare_frames("tumble-property", spark_pdf, duck_events.execute(sql).df())
     assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# As-of join fuzzing: the merge-based asof_backward_join must match
+# DuckDB's native ASOF JOIN for every (left type × right type) pairing —
+# including left==right, where a row matches ITSELF (right side sorts
+# before left at equal ts, and bts <= ts is inclusive in both engines).
+# Inner specs add a tolerance bound; left specs keep unmatched rows.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+asof_spec = st.tuples(
+    st.sampled_from(EVENT_TYPES),
+    st.sampled_from(EVENT_TYPES),
+    st.sampled_from([None, 1, 7, 30, 90]),  # tolerance days; None => LEFT join
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=asof_spec)
+def test_random_asof_matches_duckdb(spark, sf_dir, duck_events, spec):
+    from recommendersystems_bigdata_spark.operators.joins import asof_backward_join
+
+    lt, rt, tol_days = spec
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == lt).select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == rt).select(
+        "user_id", "ts", F.col("event_id").alias("rid")
+    )
+    joined = asof_backward_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload_cols=["rid"]
+    )
+    if tol_days is not None:
+        joined = joined.filter(
+            F.col("_asof_ts").isNotNull()
+            & (F.col("_asof_ts") >= F.col("ts") - F.expr(f"INTERVAL {tol_days} DAYS"))
+        )
+    spark_pdf = joined.select(
+        "event_id", "ts", F.col("_asof_ts").alias("rts"), "rid"
+    ).toPandas()
+
+    join_kw = "ASOF JOIN" if tol_days is not None else "ASOF LEFT JOIN"
+    tol_where = (
+        f"WHERE rts >= ts - INTERVAL {tol_days} DAY" if tol_days is not None else ""
+    )
+    sql = f"""
+        WITH l AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = '{lt}'
+        ),
+        r AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, event_id AS rid
+          FROM events WHERE event_type = '{rt}'
+        ),
+        j AS MATERIALIZED (
+          SELECT l.event_id, l.ts, r.rts, r.rid
+          FROM l {join_kw} r ON l.user_id = r.user_id AND r.rts <= l.ts
+        )
+        SELECT event_id, ts, rts, rid FROM j {tol_where}
+    """
+    res = compare_frames("asof-property", spark_pdf, duck_events.execute(sql).df())
+    assert res.ok, f"{spec}: {res.message()}"
