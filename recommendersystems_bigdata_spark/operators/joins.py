@@ -776,6 +776,12 @@ def asof_backward_join(
     as every engine's asof implementation).
     """
     left_cols = [c for c in left.columns]
+    reserved = {"_k", "_ts", "_side", "_r_ts", "_m", "_asof_ts", "ts"} & set(payload_cols)
+    if reserved:
+        raise ValueError(f"payload column names collide with internals: {sorted(reserved)}")
+    overlap = set(left_cols) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"payload columns shadow left columns: {sorted(overlap)}")
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
