@@ -604,3 +604,48 @@ def q_curate_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = docs.withColumn("_sr", F.row_number().over(w))
     out = global_row_number(ranked, [F.col("_sr"), F.col("_k"), F.col("doc_id")], "pos")
     return out.select("doc_id", "source", F.col("pos").cast("long").alias("pos"))
+
+
+_WS_SEED = "ws"
+_WS_CAP_CHARS = 2000  # docs at/above this length are always kept (p = 1)
+
+
+@query(
+    "q_curate_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           round(least(n_chars, {_WS_CAP_CHARS}) * 1.0 / {_WS_CAP_CHARS}, 4) AS keep_p
+    FROM documents
+    WHERE CAST('0x' || substr(md5('{_WS_SEED}' || CAST(doc_id AS VARCHAR)), 1, 4)
+               AS BIGINT) * {_WS_CAP_CHARS}
+          < least(n_chars, {_WS_CAP_CHARS}) * 65536
+    """,
+)
+def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep each doc with probability
+    proportional to its (capped) length — the length-weighted downsampler
+    a token-budgeted corpus build runs, with NO RNG state: the uniform
+    draw is the first 16 bits of md5(seed‖doc_id), and the keep test is
+    an exact integer cross-multiplication (u · CAP < min(n_chars, CAP) ·
+    2^16), so every engine, rerun, and backfill keeps the SAME rows.
+    Docs at/above the cap are always kept (p = 1).
+
+    Scale: map-only — hash, compare, filter inside one codegen stage over
+    the scan; no shuffle, no state, trivially linear at 100 TB. The same
+    shape generalizes to any per-doc weight (quality score, source
+    priority) that both sides of a backfill can recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    capped = F.least(F.col("n_chars"), F.lit(_WS_CAP_CHARS))
+    return docs.filter(u * _WS_CAP_CHARS < capped * 65536).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(capped * 1.0 / _WS_CAP_CHARS, 4).alias("keep_p"),
+    )

@@ -198,3 +198,24 @@ def test_interleave_alternates_sources_round_robin(spark, sf_dir):
     n_sources = load_table(spark, sf_dir, "documents").select("source").distinct().count()
     first_wave = {r["source"] for r in rows[:n_sources]}
     assert len(first_wave) == n_sources
+
+
+def test_weighted_sample_keeps_all_long_docs(spark, sf_dir):
+    """m11: docs at/above the 2000-char cap have keep_p = 1 and must ALL
+    be kept; the realized sample rate must track the mean keep
+    probability (loose 3-sigma-ish band at this corpus size)."""
+    from recommendersystems_bigdata_spark.catalog import load_table
+
+    fn = registry.QUERIES["q_curate_weighted_sample"]
+    kept = fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_long = docs.filter(F.col("n_chars") >= 2000).count()
+    n_long_kept = kept.filter(F.col("n_chars") >= 2000).count()
+    assert n_long_kept == n_long
+    expected = (
+        docs.select(
+            F.avg(F.least(F.col("n_chars"), F.lit(2000)) / 2000.0).alias("p")
+        ).collect()[0]["p"]
+    )
+    realized = kept.count() / docs.count()
+    assert abs(realized - expected) < 0.15, (realized, expected)
