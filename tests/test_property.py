@@ -11,6 +11,20 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+
+import os
+
+# Deep-fuzz switch: the committed runs are deterministic (derandomize) so
+# CI is reproducible; FUZZ_DEEP=1 flips every group to fresh random seeds
+# and FUZZ_EXAMPLES raises the per-group budget — the spare-compute
+# hardening sweep (see SCALE.md "Deep randomized fuzz sweeps").
+_DERANDOMIZE = os.environ.get("FUZZ_DEEP") is None
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "0"))
+
+
+def _n(default):
+    return _EXAMPLES or default
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -82,9 +96,9 @@ def duck(sf_dir):
 
 
 @settings(
-    max_examples=30,
+    max_examples=_n(30),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=query_spec)
@@ -133,9 +147,9 @@ def duck2(sf_dir):
 
 
 @settings(
-    max_examples=30,
+    max_examples=_n(30),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=join_spec)
@@ -259,9 +273,9 @@ def _win_exprs(fn):
 
 
 @settings(
-    max_examples=30,
+    max_examples=_n(30),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=win_spec)
@@ -305,9 +319,9 @@ setop_spec = st.tuples(
 
 
 @settings(
-    max_examples=30,
+    max_examples=_n(30),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=setop_spec)
@@ -354,9 +368,9 @@ grouping_spec = st.tuples(
 
 
 @settings(
-    max_examples=20,
+    max_examples=_n(20),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=grouping_spec)
@@ -392,9 +406,9 @@ scalar_spec = st.tuples(
 
 
 @settings(
-    max_examples=20,
+    max_examples=_n(20),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=scalar_spec)
@@ -448,9 +462,9 @@ def duck_events(sf_dir):
 
 
 @settings(
-    max_examples=18,
+    max_examples=_n(18),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=tumble_spec)
@@ -503,9 +517,9 @@ asof_spec = st.tuples(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_n(25),
     deadline=None,
-    derandomize=True,
+    derandomize=_DERANDOMIZE,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(spec=asof_spec)
