@@ -1,0 +1,202 @@
+"""Graph analytics over the item co-purchase graph (SURVEY.md §2.N):
+fixed-iteration integer-scaled PageRank and the degree distribution.
+
+Both operators run on the same graph the triangle counter
+(ml/recommender.py q_graph_triangles) analyzes: parts are nodes, and an
+undirected edge connects two parts that co-occur in ≥2 distinct orders.
+The edge build is the expensive leg at 100 TB (a per-basket fact
+self-join, shuffling on part id); the analytics on the aggregated graph
+are edge-linear per iteration.
+
+Determinism discipline (the repo-wide integer-exactness rule): PageRank
+is usually a float fixpoint, which is NOT reproducible across engines —
+partial-sum order changes the low bits, and rank ties then break
+differently. Here every iteration is pure 64-bit integer arithmetic
+(micro-scaled ranks, floor-division shares, cross-multiplied damping),
+so Spark and DuckDB produce bit-identical ranks, a rerun on a different
+partition layout produces bit-identical ranks, and the oracle check is
+an exact hash match rather than a tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_tables
+from recommendersystems_bigdata_spark.registry import query
+
+# Shared oracle prefix: the co-purchase edge set, directed both ways, with
+# out-degrees. Matches the q_graph_triangles edge definition exactly.
+_EDGE_CTES = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT pa, pb FROM pairs WHERE co >= 2),
+    ed AS (SELECT pa AS src, pb AS dst FROM e
+           UNION ALL SELECT pb AS src, pa AS dst FROM e),
+    od AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+    nodes AS (SELECT src AS part, od AS degree FROM od)
+"""
+
+_PR_ITERS = 3
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (pa < pb, co-ordered ≥ 2), checkpointed
+    so the two downstream passes (degree + analytics) don't re-run the
+    basket self-join."""
+    (raw,) = load_tables(spark, sf_dir, "lineitem")
+    li = raw.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    return pairs.filter(F.col("co") >= 2).select("pa", "pb").localCheckpoint()
+
+
+def pagerank_micros(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-iteration integer PageRank over an undirected edge list.
+
+    ``edges`` holds one row per undirected edge ``(pa, pb)``. Ranks are
+    micro-scaled longs: every node starts at 1_000_000 (mass N, not 1, so
+    no N-divide is needed), and each synchronous step computes
+
+        r'(v) = 150_000 + (85 * Σ_{u~v} (r(u) div deg(u))) div 100
+
+    i.e. damping d = 0.85 with a per-node restart mass of 0.15, all in
+    64-bit integer arithmetic (floor division; every operand positive, so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree). The
+    symmetrized graph has no dangling nodes by construction — every node
+    carries at least one edge, so no leaked-mass correction term exists.
+
+    Scale design: the edge+degree frame is checkpointed once and reused by
+    all iterations; each iteration is one hash join (ranks onto edges, key
+    = node id) and one groupBy(dst) — both shuffle on node id, so at a
+    fixed partitioning the rank table co-locates with the edge partitions
+    round over round. Per-iteration ``localCheckpoint`` cuts the lineage so
+    the k-th plan doesn't replay k-1 rounds (same pattern as the
+    label-propagation clusterer, ml/dedup.py). Iteration count is FIXED
+    (k=3), not convergence-tested: a data-dependent stopping rule would
+    make the operator's output depend on float residuals; a fixed horizon
+    keeps it deterministic and lets the oracle unroll the same k steps as
+    plain SQL.
+    """
+    ed = edges.selectExpr("pa AS src", "pb AS dst").union(
+        edges.selectExpr("pb AS src", "pa AS dst")
+    )
+    outdeg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # src, dst, od — the static per-iteration operand, checkpointed once.
+    ed_od = ed.join(outdeg, "src").localCheckpoint()
+    nodes = outdeg.select(F.col("src").alias("part"), F.col("od").alias("degree"))
+    r = nodes.select("part", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ed_od.join(r.withColumnRenamed("part", "src"), "src")
+            .select("dst", F.expr("r div od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        r = (
+            nodes.select("part")
+            .join(contrib.withColumnRenamed("dst", "part"), "part", "left")
+            .select(
+                "part",
+                (F.lit(150_000) + F.expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return nodes.join(r, "part").select(
+        "part", "degree", F.col("r").alias("rank_micros")
+    )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=_EDGE_CTES
+    + """,
+    r0 AS (SELECT part, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    r1 AS (SELECT n.part, CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT ed.dst AS part, sum(r0.r // od.od) AS c
+             FROM ed JOIN r0 ON ed.src = r0.part JOIN od ON ed.src = od.src
+             GROUP BY ed.dst) c USING (part)),
+    r2 AS (SELECT n.part, CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT ed.dst AS part, sum(r1.r // od.od) AS c
+             FROM ed JOIN r1 ON ed.src = r1.part JOIN od ON ed.src = od.src
+             GROUP BY ed.dst) c USING (part)),
+    r3 AS (SELECT n.part, CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT ed.dst AS part, sum(r2.r // od.od) AS c
+             FROM ed JOIN r2 ON ed.src = r2.part JOIN od ON ed.src = od.src
+             GROUP BY ed.dst) c USING (part))
+    SELECT n.part, n.degree, r3.r AS rank_micros
+    FROM nodes n JOIN r3 USING (part)
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n1 — item-importance ranking: 3-iteration integer PageRank over the
+    co-purchase graph. The item-graph centrality signal recommenders use
+    for popularity-debiased ranking, computed with bit-identical results
+    on any engine or partition layout (see pagerank_micros).
+
+    The DuckDB oracle unrolls the same three integer steps as a CTE chain
+    — no recursion, no tolerance: the hash compare is exact."""
+    return pagerank_micros(copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "q_graph_degree_distribution",
+    oracle=_EDGE_CTES
+    + """,
+    tot AS (SELECT count(*) AS n_total FROM nodes)
+    SELECT CAST(1 << (length(bin(degree)) - 1) AS BIGINT) AS bucket_lo,
+           count(*) AS n_parts,
+           CAST((count(*) * 10000) // max(tot.n_total) AS BIGINT) AS share_bp
+    FROM nodes, tot
+    GROUP BY 1
+    """,
+)
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n2 — power-of-2 degree histogram of the co-purchase graph: the
+    skew pre-flight for every graph operator here (a heavy tail in this
+    table is the signal to switch the wedge join to degree-ordered
+    orientation, and to salt the PageRank contribution groupBy).
+
+    Bucketing is integer-exact on both engines: floor(log2(degree)) is
+    computed as length-of-binary-string minus one — log2 via floats
+    rounds wrong at exact powers of two on engines that lower it to
+    ln(x)/ln(2). The share is a basis-point integer cross-multiply, not a
+    rounded float ratio. Scale: one groupBy on a key with ≤ 64 distinct
+    values after the degree aggregation; the 1-row total broadcasts."""
+    e = copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("part"))
+        .union(e.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    total = deg.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        deg.select((F.length(F.bin(F.col("degree"))) - 1).cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(F.broadcast(total), how="cross")
+        .select(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), k) AS BIGINT)").alias("bucket_lo"),
+            "n_parts",
+            F.expr("CAST((n_parts * 10000) div n_total AS BIGINT)").alias("share_bp"),
+        )
+    )

@@ -69,6 +69,11 @@ _BLOCK_D = (  # round-6 sample: timeops/streaming/sources + dedup tail
 # pinned round-5/6/7 first-50 sample windows are unaffected; their
 # correctness evidence is the local VERIFY log + per-commit parity tests.
 _TAIL = (f"{_PKG}.ml.curation",)
+# Graph analytics (§2.N, added later in round 5, AFTER the round-8
+# presample was pinned): register after every round-5..8 sample window
+# (including round 8's, which _TAIL leads) so no committed presample goes
+# stale; the round-9 order leads with them for driver evidence.
+_TAIL2 = (f"{_PKG}.ml.graph",)
 
 
 def _driver_round() -> int:
@@ -98,27 +103,32 @@ def _driver_round() -> int:
 def _module_order(rnd: int) -> tuple[str, ...]:
     """Registration order for a given driver round (see comment above)."""
     if rnd <= 4:
-        return _BLOCK_B + _BLOCK_C + _BLOCK_D + _BLOCK_A + _TAIL
+        return _BLOCK_B + _BLOCK_C + _BLOCK_D + _BLOCK_A + _TAIL + _TAIL2
     if rnd == 5:
-        return _BLOCK_C + _BLOCK_D + _BLOCK_B + _BLOCK_A + _TAIL
+        return _BLOCK_C + _BLOCK_D + _BLOCK_B + _BLOCK_A + _TAIL + _TAIL2
     if rnd == 6:
         # the remaining never-sampled keys lead — timeops/streaming/sources
         # (33 keys) then ml.dedup so its round-4 tail (3 keys past the
         # first-50 cut) lands inside the sample window.
         dedup = (f"{_PKG}.ml.dedup",)
         rest_b = tuple(m for m in _BLOCK_B if m not in dedup)
-        return _BLOCK_D + dedup + rest_b + _BLOCK_C + _BLOCK_A + _TAIL
+        return _BLOCK_D + dedup + rest_b + _BLOCK_C + _BLOCK_A + _TAIL + _TAIL2
     if rnd == 7:
         # aggregates leads (31 keys — rounds 1–3 cut it off at its 17th
         # key, leaving a 14-key tail never sampled), then the rest of the
         # legacy block.
         agg = (f"{_PKG}.operators.aggregates",)
         rest_a = tuple(m for m in _BLOCK_A if m not in agg)
-        return agg + rest_a + _BLOCK_B + _BLOCK_C + _BLOCK_D + _TAIL
-    # round 8+: the curation tail (added round 5, never inside an earlier
-    # window) leads, followed by the legacy order — after this every
-    # registered key has appeared in a driver sample.
-    return _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D
+        return agg + rest_a + _BLOCK_B + _BLOCK_C + _BLOCK_D + _TAIL + _TAIL2
+    if rnd == 8:
+        # round 8: the curation tail (added round 5, never inside an
+        # earlier window) leads, followed by the legacy order. The graph
+        # tail stays LAST — its keys landed after the round-8 presample
+        # was pinned.
+        return _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D + _TAIL2
+    # round 9+: the graph tail leads — after this every registered key has
+    # appeared in a driver sample.
+    return _TAIL2 + _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D
 
 
 _QUERY_MODULES = _module_order(_driver_round())

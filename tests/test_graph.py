@@ -1,0 +1,72 @@
+"""Graph-analytics operators (ml/graph.py, SURVEY.md §2.N).
+
+The registered queries are hash-checked against DuckDB by
+test_oracle_parity; here the PageRank kernel itself is verified on a
+hand-built toy graph against an INDEPENDENT pure-Python mirror of the
+integer recurrence — catching any divergence between the DataFrame
+lowering and the declared semantics that the (shared-edge-definition)
+oracle could mask.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendersystems_bigdata_spark.ml.graph import pagerank_micros
+
+# Path + two triangles sharing edges: degrees {1:1, 2:4, 3:2, 4:3, 5:2}.
+#
+#   1 — 2 — 3
+#       | \ |
+#       5 — 4    (edges: 1-2, 2-3, 2-4, 2-5, 3-4, 4-5)
+TOY_EDGES = [(1, 2), (2, 3), (2, 4), (2, 5), (3, 4), (4, 5)]
+
+
+def _python_pagerank(edges, iters=3):
+    """Pure-Python mirror of the micro-scaled integer recurrence."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: 1_000_000 for v in adj}
+    for _ in range(iters):
+        share = {v: r[v] // deg[v] for v in adj}
+        r = {
+            v: 150_000 + (85 * sum(share[u] for u in adj[v])) // 100
+            for v in adj
+        }
+    return {v: (deg[v], r[v]) for v in adj}
+
+
+def test_pagerank_matches_pure_python_mirror(spark):
+    edges = spark.createDataFrame(TOY_EDGES, "pa INT, pb INT")
+    got = {
+        row["part"]: (row["degree"], row["rank_micros"])
+        for row in pagerank_micros(edges).collect()
+    }
+    assert got == _python_pagerank(TOY_EDGES)
+
+
+def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
+    """Each iteration redistributes at most the existing mass: total rank
+    never exceeds N·1e6 and floor-division can only leak mass downward.
+    On the toy graph after 3 rounds the total stays within the loss bound
+    of iters · (N·0.85 + 1) micro-units (≤ 1 floor per node per step on
+    both the share and damping divisions)."""
+    edges = spark.createDataFrame(TOY_EDGES, "pa INT, pb INT")
+    out = pagerank_micros(edges)
+    total = out.agg(F.sum("rank_micros").alias("t")).collect()[0]["t"]
+    n = out.count()
+    assert total <= n * 1_000_000
+    # loose lower bound: at most (2 divisions × n nodes + edge count) micro
+    # units lost per iteration — far below 1% of mass on this graph
+    assert total >= n * 1_000_000 * 0.99
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    """Node 2 (degree-4 hub) must outrank node 4 (degree 3), which must
+    outrank node 1 (pendant leaf)."""
+    edges = spark.createDataFrame(TOY_EDGES, "pa INT, pb INT")
+    ranks = {r["part"]: r["rank_micros"] for r in pagerank_micros(edges).collect()}
+    assert ranks[2] > ranks[4] > ranks[1]

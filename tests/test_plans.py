@@ -437,6 +437,7 @@ _BNLJ_ALLOWED = {
     "q_vocab_growth", "q_dedup_density_estimate", "q_dedup_rate_report",
     "q_embedding_outliers", "q_embedding_truncation", "q_kfold_split",
     "q_text_lm_score", "q_repeat_purchase_rate", "q_skew_report",
+    "q_graph_degree_distribution",  # 1-row node-count total vs ≤64 buckets
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
     "q_subquery_in",      # acctbal ≥ scalar threshold row

@@ -27,17 +27,17 @@ def _first50(rnd: int) -> list[str]:
 def test_rotation_orders_are_permutations():
     registry.load_all()
     all_mods = set(registry._module_order(4))
-    for rnd in (1, 4, 5, 6, 7, 8):
+    for rnd in (1, 4, 5, 6, 7, 8, 9):
         order = registry._module_order(rnd)
         assert len(order) == len(set(order)), f"duplicate module in round {rnd}"
         assert set(order) == all_mods, f"round {rnd} drops a module"
 
 
-def test_rounds_4_to_8_cover_all_keys():
+def test_rounds_4_to_9_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
-    cover every registered key: after round 8 every §2 operator (including
-    the round-5 curation tail, which leads the round-8 order) has appeared
-    in a driver CORRECTNESS sample."""
+    cover every registered key: after round 9 every §2 operator (the
+    round-5 curation tail leads the round-8 order, the graph tail leads
+    round 9) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -49,10 +49,26 @@ def test_rounds_4_to_8_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8):
+    for rnd in (4, 5, 6, 7, 8, 9):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
+
+
+def test_graph_tail_outside_pinned_windows():
+    """The §2.N graph keys landed AFTER the round-5..8 presamples were
+    committed: they must sit past the first-50 cut in every one of those
+    orders (so no committed presample goes stale) and lead the round-9
+    order (so they eventually get driver evidence)."""
+    registry.load_all()
+    graph_keys = {
+        k for k, fn in registry.QUERIES.items()
+        if fn.__module__ == "recommendersystems_bigdata_spark.ml.graph"
+    }
+    assert graph_keys, "graph module registered no keys"
+    for rnd in (5, 6, 7, 8):
+        assert not (graph_keys & set(_first50(rnd))), rnd
+    assert graph_keys <= set(_first50(9))
 
 
 def test_progress_round_parse_is_safe():
