@@ -64,6 +64,39 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
     assert total >= n * 1_000_000 * 0.99
 
 
+import os
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_DERANDOMIZE = os.environ.get("FUZZ_DEEP") is None
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "0"))
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
+
+
+@settings(
+    max_examples=_EXAMPLES or 12,
+    deadline=None,
+    derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=edge_lists)
+def test_pagerank_fuzz_random_graphs_match_mirror(spark, edges):
+    """Random small graphs: the DataFrame kernel must agree bit-for-bit
+    with the pure-Python integer mirror — the iterative-join lowering has
+    no tolerance to hide in."""
+    df = spark.createDataFrame(edges, "pa INT, pb INT")
+    got = {
+        row["part"]: (row["degree"], row["rank_micros"])
+        for row in pagerank_micros(df).collect()
+    }
+    assert got == _python_pagerank(edges)
+
+
 def test_pagerank_hub_outranks_leaf(spark):
     """Node 2 (degree-4 hub) must outrank node 4 (degree 3), which must
     outrank node 1 (pendant leaf)."""
