@@ -126,9 +126,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # tail stays LAST — its keys landed after the round-8 presample
         # was pinned.
         return _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D + _TAIL2
-    # round 9+: the graph tail leads — after this every registered key has
-    # appeared in a driver sample.
-    return _TAIL2 + _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D
+    if rnd == 9:
+        # round 9: the graph tail leads — after this every registered key
+        # has appeared in a driver sample.
+        return _TAIL2 + _TAIL + _BLOCK_A + _BLOCK_B + _BLOCK_C + _BLOCK_D
+    # round 10+: re-confirmation rounds. Cycle through the five already-
+    # pinned sample windows (rounds 5..9) so every key keeps collecting
+    # fresh driver evidence once per 5 rounds, instead of rounds 10..20
+    # repeating one window — and every future window is a list a committed
+    # presample has already verified for cross-session determinism.
+    return _module_order(5 + (rnd - 10) % 5)
 
 
 _QUERY_MODULES = _module_order(_driver_round())

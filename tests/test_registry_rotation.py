@@ -55,6 +55,16 @@ def test_rounds_4_to_9_cover_all_keys():
     assert not missing, f"never driver-sampled: {sorted(missing)}"
 
 
+def test_rounds_10_plus_cycle_the_pinned_windows():
+    """Re-confirmation rounds: every round ≥ 10 must reuse one of the five
+    pinned round-5..9 orders (cycling), so each key re-greens once per 5
+    rounds and no future window escapes an existing presample."""
+    for rnd in range(10, 21):
+        assert registry._module_order(rnd) == registry._module_order(5 + (rnd - 10) % 5)
+    # the cycle actually rotates: consecutive rounds differ
+    assert registry._module_order(10) != registry._module_order(11)
+
+
 def test_graph_tail_outside_pinned_windows():
     """The §2.N graph keys landed AFTER the round-5..8 presamples were
     committed: they must sit past the first-50 cut in every one of those
