@@ -74,12 +74,24 @@ def _sql_text(preds, combiner, group_col):
     def lit(val):
         return f"'{val}'" if isinstance(val, str) else repr(val)
 
+    # Exact integer cents inside the aggregate: raw double sum/avg order
+    # differs between engines (and between Spark partition layouts), which
+    # flips 2/4-dp rounding when the true value sits on a boundary
+    # (observed: avg 4491.07375 → .0737 vs .0738). The average is then
+    # reported as a FLOOR-DIVIDED integer (1e-4 currency units), not a
+    # round()ed float: on exact decimal ties round() itself diverges —
+    # Spark rounds the shortest decimal representation (HALF_UP on
+    # BigDecimal.valueOf), DuckDB rounds in double space (x*10^4 carries
+    # error across the .5) — observed again at avg 5588.34625. Floor
+    # division is the one quotient both engines define identically.
+    # total_bal's round is safe: cents/100.0 never has >2 decimals.
     where = f" {combiner} ".join(f"({col} {op} {lit(val)})" for col, op, val in preds)
     return f"""
         SELECT {group_col},
                count(*) AS n,
-               round(sum(c_acctbal), 2) AS total_bal,
-               round(avg(c_acctbal), 4) AS avg_bal,
+               round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS total_bal,
+               CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 100)
+                    // count(*) AS BIGINT) AS avg_bal_e4,
                count(DISTINCT c_nationkey) AS n_nations
         FROM customer WHERE {where} GROUP BY {group_col}
     """
@@ -105,12 +117,17 @@ def duck(sf_dir):
 def test_random_filter_agg_matches_duckdb(spark, sf_dir, duck, spec):
     preds, combiner, group_col = spec
     df = _spark_filter(load_table(spark, sf_dir, "customer"), preds, combiner)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    # F.floor of the double quotient == exact floor division here: the
+    # numerator is < 2^53 by orders of magnitude, so the correctly-rounded
+    # double division cannot cross an integer boundary (matches DuckDB //,
+    # including on negative sums, where Spark's integer `div` truncates).
     spark_pdf = (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_bal"),
+            F.floor(F.sum(cents) * 100 / F.count(F.lit(1))).cast("long").alias("avg_bal_e4"),
             F.countDistinct("c_nationkey").alias("n_nations"),
         )
         .toPandas()
@@ -237,7 +254,10 @@ def _win_exprs(fn):
         # the end — sliding-frame float association differs between engines
         # (DuckDB segment tree vs Spark recompute), integers do not.
         "running_sum": "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)",
-        "moving_avg": "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / (100.0 * count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 4)",
+        # floor-divided integer (1e-4 units): round() on the quotient hits
+        # the exact-decimal-tie divergence (see _sql_text) for frame
+        # counts 2..4
+        "moving_avg": "CAST((sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100) // count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)",
         "ntile4": "ntile(4) OVER w",
         "percent_rank": "round(percent_rank() OVER w, 6)",
         "cume_dist": "round(cume_dist() OVER w, 6)",
@@ -260,9 +280,10 @@ def _win_exprs(fn):
             return F.round(F.sum(cents).over(run) / 100.0, 2)
         if fn == "moving_avg":
             mov = w.rowsBetween(-3, Window.currentRow)
-            return F.round(
-                F.sum(cents).over(mov) / (100.0 * F.count(F.lit(1)).over(mov)), 4
-            )
+            # exact floor division (numerator ≪ 2^53; all values positive)
+            return F.floor(
+                F.sum(cents).over(mov) * 100 / F.count(F.lit(1)).over(mov)
+            ).cast("long")
         if fn == "ntile4":
             return F.ntile(4).over(w)
         if fn == "percent_rank":
@@ -378,13 +399,15 @@ def test_random_grouping_matches_duckdb(spark, sf_dir, duck, spec):
     kind, dims, bal_thr = spec
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= bal_thr)
     grouped = cust.rollup(*dims) if kind == "rollup" else cust.cube(*dims)
+    # integer-cents aggregate — see _sql_text for why raw double sums flake
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
     spark_pdf = grouped.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.sum(cents) / 100.0, 2).alias("total_bal"),
     ).toPandas()
     sql = f"""
         SELECT {dims[0]}, {dims[1]}, count(*) AS n,
-               round(sum(c_acctbal), 2) AS total_bal
+               round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS total_bal
         FROM customer WHERE c_acctbal >= {bal_thr}
         GROUP BY {kind.upper()} ({dims[0]}, {dims[1]})
     """
