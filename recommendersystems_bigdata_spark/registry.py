@@ -69,11 +69,12 @@ _BLOCK_D = (  # round-6 sample: timeops/streaming/sources + dedup tail
 # pinned round-5/6/7 first-50 sample windows are unaffected; their
 # correctness evidence is the local VERIFY log + per-commit parity tests.
 _TAIL = (f"{_PKG}.ml.curation",)
-# Graph analytics (§2.N, added later in round 5, AFTER the round-8
-# presample was pinned): register after every round-5..8 sample window
+# Post-presample additions (added later in round 5, AFTER the round-8
+# presample was pinned): graph analytics (§2.N) and ingestion robustness
+# (§2.A a13/a14). They register after every round-5..8 sample window
 # (including round 8's, which _TAIL leads) so no committed presample goes
 # stale; the round-9 order leads with them for driver evidence.
-_TAIL2 = (f"{_PKG}.ml.graph",)
+_TAIL2 = (f"{_PKG}.ml.graph", f"{_PKG}.sources.ingest")
 
 
 def _driver_round() -> int:

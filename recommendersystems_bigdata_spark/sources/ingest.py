@@ -1,0 +1,127 @@
+"""Ingestion-robustness operators (SURVEY.md §2.A additions, round 5):
+corrupt-tolerant JSON scanning and schema-evolution parquet merging.
+
+At 100 TB the scan layer's failure mode is not "the file is missing" but
+"0.01% of lines are garbage" and "last quarter's shards lack this
+quarter's column". These operators exercise Spark's REAL handling of
+both — PERMISSIVE JSON parsing with a corrupt-record column, and
+``mergeSchema`` over heterogeneous parquet shards — against oracles that
+compute the expected outcome analytically from the clean source table.
+The fixtures are built BY the operator, distributed (``to_json`` +
+text sink / parquet sink), with a deterministic corruption/partition
+rule keyed on ``doc_id``, so the oracle needs no access to the temp
+files: if Spark's permissive parser or schema merger ever deviates from
+the declared semantics, the hash check fails.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.registry import query
+
+
+@query(
+    "q_scan_corrupt_json",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS lang_bucket,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END), 0)
+                AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_scan_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a13 — corrupt-tolerant JSON scan with quarantine accounting.
+
+    Serializes ``documents`` to JSONL with every 7th doc's line truncated
+    mid-object (guaranteed unparseable), then reads the file back in
+    PERMISSIVE mode with an explicit schema plus a corrupt-record column
+    and reports per-language clean-row counts/char sums next to a
+    ``_corrupt`` quarantine bucket. The corruption rule is deterministic
+    (``doc_id % 7``), so the oracle derives the expected report from the
+    clean table — a parser that silently drops corrupt lines (DROPMALFORMED
+    semantics) or nulls the wrong rows hash-mismatches.
+
+    Scale design: both legs are map-only over the corpus — ``to_json`` +
+    conditional truncate fuse into the write stage's codegen; the
+    read-back parses once with a user-supplied schema (no sampling pass
+    for inference, which at 100 TB would double the scan) and feeds one
+    partial-aggregated groupBy on a low-cardinality bucket key. The
+    quarantine column pattern is the production shape: corrupt raw lines
+    stay addressable for replay instead of vanishing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="rsbd_ingest_json_")
+    path = f"{base}/docs_jsonl"
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    docs.select(
+        F.when(F.col("doc_id") % 7 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        parsed.groupBy(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("lang_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_sum"),
+        )
+    )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a14 — schema-evolution scan over heterogeneous parquet shards.
+
+    Writes two parquet shards from ``documents`` — an "old" shard
+    (even doc_ids, columns ``doc_id, lang``) and a "new" shard (odd
+    doc_ids, plus the later-added ``source`` column) — then reads both
+    with ``mergeSchema`` and reports, per language, total docs and how
+    many carry the evolved column. The even/odd split rule lets the
+    oracle compute the expectation from the source table: a reader that
+    drops the unevolved shard's rows, fails to null-extend them, or
+    resolves the merged schema wrong hash-mismatches.
+
+    Scale design: ``mergeSchema`` reconciles footers only (no data pass)
+    — its 100 TB cost is one footer read per file, which is why shard
+    counts (not shard sizes) bound it; the query itself is scan +
+    one partial-aggregated groupBy. Null-extension happens at the
+    reader's projection, map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="rsbd_ingest_evo_")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    old.write.mode("overwrite").parquet(f"{base}/s_old")
+    new.write.mode("overwrite").parquet(f"{base}/s_new")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{base}/s_old", f"{base}/s_new"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("source").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_with_source"),
+    )

@@ -65,20 +65,21 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     assert registry._module_order(10) != registry._module_order(11)
 
 
-def test_graph_tail_outside_pinned_windows():
-    """The §2.N graph keys landed AFTER the round-5..8 presamples were
-    committed: they must sit past the first-50 cut in every one of those
-    orders (so no committed presample goes stale) and lead the round-9
-    order (so they eventually get driver evidence)."""
+def test_post_presample_tail_outside_pinned_windows():
+    """Keys added AFTER the round-5..8 presamples were committed (the
+    _TAIL2 modules: §2.N graph analytics, §2.A ingestion robustness) must
+    sit past the first-50 cut in every one of those orders (so no
+    committed presample goes stale) and lead the round-9 order (so they
+    eventually get driver evidence)."""
     registry.load_all()
-    graph_keys = {
+    tail2_keys = {
         k for k, fn in registry.QUERIES.items()
-        if fn.__module__ == "recommendersystems_bigdata_spark.ml.graph"
+        if fn.__module__ in registry._TAIL2
     }
-    assert graph_keys, "graph module registered no keys"
+    assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
-        assert not (graph_keys & set(_first50(rnd))), rnd
-    assert graph_keys <= set(_first50(9))
+        assert not (tail2_keys & set(_first50(rnd))), rnd
+    assert tail2_keys <= set(_first50(9))
 
 
 def test_progress_round_parse_is_safe():
