@@ -157,6 +157,78 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micros(copurchase_edges(spark, sf_dir))
 
 
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """Connected components of an undirected ``(pa, pb)`` edge list via
+    iterative min-label propagation: returns ``(part, label)`` with label
+    = min node id in the component. Driver loop with per-round
+    ``localCheckpoint`` (lineage-cut), same pattern as the near-dup
+    clusterer (ml/dedup.py); rounds ~ component diameter, each round one
+    edge join + one min groupBy, both shuffling on node id. Labels are
+    integers, so the stopping rule ("no label decreased") is exact."""
+    ed = edges.selectExpr("pa AS src", "pb AS dst").union(
+        edges.selectExpr("pb AS src", "pa AS dst")
+    ).localCheckpoint()
+    nodes = ed.select(F.col("src").alias("part")).distinct()
+    labels = nodes.select("part", F.col("part").alias("label"))
+    while True:
+        msgs = ed.join(labels.withColumnRenamed("part", "src"), "src").select(
+            F.col("dst").alias("part"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("part").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "part")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_graph_components",
+    oracle=_EDGE_CTES.replace("WITH", "WITH RECURSIVE")
+    + """,
+    walk(part, label) AS (
+      SELECT part, part FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN ed e ON e.src = w.part
+      WHERE w.label < e.dst
+    ),
+    comp AS (SELECT part, min(label) AS component_id FROM walk GROUP BY part),
+    sizes AS (SELECT component_id, count(*) AS component_size
+              FROM comp GROUP BY component_id)
+    SELECT c.part, c.component_id, s.component_size
+    FROM comp c JOIN sizes s USING (component_id)
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n3 — connected components of the co-purchase graph: assortment
+    clusters (sets of parts transitively linked by co-purchase), labeled
+    by min part id, with component sizes. The structure signal between
+    per-node centrality (n1) and global shape (n2): a recommender shards
+    its item graph by component, and a merchandiser reads the giant
+    component's share directly off this table.
+
+    Spark side: iterative min-label propagation, the same driver-loop +
+    per-round ``localCheckpoint`` pattern as the near-dup clusterer
+    (ml/dedup.py q_dedup_clusters) — rounds ~ component diameter, each
+    round one edge join + one min groupBy, both shuffling on node id.
+    Labels are integers, so convergence ("no label decreased") is exact —
+    no float residual in the stopping rule. The DuckDB oracle computes
+    min reachable label with a recursive CTE; integer labels make the
+    hash compare exact."""
+    labels = min_label_components(copurchase_edges(spark, sf_dir))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "label").select(
+        "part", F.col("label").alias("component_id"), "component_size"
+    )
+
+
 @query(
     "q_graph_degree_distribution",
     oracle=_EDGE_CTES

@@ -64,6 +64,20 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
     assert total >= n * 1_000_000 * 0.99
 
 
+def test_components_on_disjoint_toy_graphs(spark):
+    """Two disjoint toy components (triangle 1-2-3 plus a pendant chain,
+    edge 10-11) must get min-id labels through the operator's own kernel.
+    The chain 3-4-5 forces diameter > 1, so the propagation genuinely
+    iterates."""
+    from recommendersystems_bigdata_spark.ml.graph import min_label_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (10, 11)], "pa INT, pb INT"
+    )
+    got = {r["part"]: r["label"] for r in min_label_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
 import os
 
 from hypothesis import HealthCheck, given, settings, strategies as st
