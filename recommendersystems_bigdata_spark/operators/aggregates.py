@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_table, load_tables, register_views
+from recommendersystems_bigdata_spark.functions.exactmath import revenue_sum_col, revenue_sum_sql
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -19,10 +20,15 @@ from recommendersystems_bigdata_spark.registry import query
     "q_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0            AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0       AS sum_base_price,
+           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50)
+            // 100) / 100.0                                                   AS sum_disc_price,
+           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(100 - round(l_discount * 100, 0) AS BIGINT)
+                 * CAST(100 + round(l_tax * 100, 0) AS BIGINT)) + 5000)
+            // 10000) / 100.0                                                 AS sum_charge,
            round(avg(l_quantity), 2)                                          AS avg_qty,
            round(avg(l_extendedprice), 2)                                     AS avg_price,
            round(avg(l_discount), 4)                                          AS avg_disc,
@@ -39,22 +45,54 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 7-column projection both reach the parquet scan (PushedFilters /
     ReadSchema); everything up to the partial aggregate runs in one
     whole-stage-codegen span.
+
+    The four SUM measures run in exact integer micros (cents × discount/
+    tax cents), with the 2-dp rounding done by integer half-up BEFORE the
+    one float divide: a raw double sum's value depends on partial-sum
+    order, and at sf0.01 the R/F disc-price group sits 0.0001 from its
+    rounding boundary — inside the worst-case double summation error for
+    a 15k-row group, i.e. a layout change could flip the rounded digit.
+    Integer partials are associative, so the result is bit-identical on
+    any partition layout and any engine. (Measured AVG margins are ≥ 5
+    orders above their float error — sum error/n shrinks as 1/sqrt(n) —
+    so the avg measures keep the direct spelling.) BIGINT micros hold to
+    ~sf30 per group; beyond that the same expressions widen to
+    DECIMAL(38) accumulators unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_f = (100 - F.round(F.col("l_discount") * 100, 0)).cast("long")
+    tax_f = (100 + F.round(F.col("l_tax") * 100, 0)).cast("long")
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(qty_c).alias("_sq_c"),
+            F.sum(price_c).alias("_sbp_c"),
+            F.sum(price_c * disc_f).alias("_sdp_e4"),
+            F.sum(price_c * disc_f * tax_f).alias("_sc_e6"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    # integer half-up at 2 dp (all values positive, long `div` — the e6
+    # charge sum exceeds double's exact-integer range at sf≥0.1, so no
+    # float floor), THEN the exact /100.0 — never round() a tie-capable
+    # float
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sq_c") / 100.0).alias("sum_qty"),
+        (F.col("_sbp_c") / 100.0).alias("sum_base_price"),
+        (F.expr("(_sdp_e4 + 50) div 100") / 100.0).alias("sum_disc_price"),
+        (F.expr("(_sc_e6 + 5000) div 10000") / 100.0).alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
     )
 
 
@@ -97,28 +135,28 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_conditional",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
-           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_a,
-           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_n,
-           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_r,
+           {revenue_sum_sql(cond="l_returnflag = 'A'")} AS rev_a,
+           {revenue_sum_sql(cond="l_returnflag = 'N'")} AS rev_n,
+           {revenue_sum_sql(cond="l_returnflag = 'R'")} AS rev_r,
            CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
     GROUP BY l_linestatus
     """,
 )
 def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d4 — filtered/conditional aggregation (manual pivot via sum-case)."""
+    """d4 — filtered/conditional aggregation (manual pivot via sum-case).
+
+    The conditional revenue sums use the exact integer-micros builder
+    (functions/exactmath.py): these are whole-linestatus groups — the
+    largest groups in the schema — exactly where a raw double sum's
+    partial-order noise can flip the rounded cent."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-    def rev_if(flag: str):
-        return F.round(F.sum(F.when(F.col("l_returnflag") == flag, rev).otherwise(0.0)), 2)
-
     return li.groupBy("l_linestatus").agg(
-        rev_if("A").alias("rev_a"),
-        rev_if("N").alias("rev_n"),
-        rev_if("R").alias("rev_r"),
+        revenue_sum_col(cond="l_returnflag = 'A'").alias("rev_a"),
+        revenue_sum_col(cond="l_returnflag = 'N'").alias("rev_n"),
+        revenue_sum_col(cond="l_returnflag = 'R'").alias("rev_r"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("long").alias("n_bulk"),
     )
 

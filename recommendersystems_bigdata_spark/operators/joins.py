@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_table, load_tables
+from recommendersystems_bigdata_spark.functions.exactmath import revenue_sum_col, revenue_sum_sql
 from recommendersystems_bigdata_spark.registry import query
 
 
@@ -31,9 +32,9 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STAR_ORACLE = """
+_STAR_ORACLE = f"""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {revenue_sum_sql()} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -61,7 +62,7 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            revenue_sum_col().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -89,7 +90,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            revenue_sum_col().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -537,7 +538,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shipping",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -575,7 +576,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(revenue_sum_col().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -586,7 +587,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5_local_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -634,11 +635,7 @@ def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum_col().alias("revenue"))
     )
 
 
@@ -646,7 +643,7 @@ def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_returns",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -683,11 +680,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum_col().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")

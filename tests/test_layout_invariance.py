@@ -1,0 +1,46 @@
+"""Partition-layout invariance of rounded-aggregate outputs.
+
+``round(sum(double), 2)`` depends on the double partial-sum order, which
+is set by the scan-split layout — so two configurations of
+``spark.sql.files.maxPartitionBytes`` can produce DIFFERENT rounded
+cents from the same data (the hazard adjudicated in SCALE.md "Deep
+randomized fuzz sweeps": at sf0.01 the flagship's R/F disc-price group
+sits 0.0001 from its boundary, inside a 15k-row group's worst-case
+summation error). The revenue measures were rewritten to exact integer
+micros (functions/exactmath.py); this test pins the property the
+rewrite bought: bit-identical output under a radically different input
+split layout AND a different shuffle-partition count.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recommendersystems_bigdata_spark import registry
+from recommendersystems_bigdata_spark.oracle import canonicalize
+
+HARDENED = (
+    "q_agg_pricing_summary",
+    "q_agg_conditional",
+    "q_join_star_multiway",
+    "q_tpch_q5_local_volume",
+)
+
+
+@pytest.mark.parametrize("key", HARDENED)
+def test_hardened_aggregates_are_layout_invariant(spark, sf_dir, key):
+    registry.load_all()
+    fn = registry.QUERIES[key]
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")  # 128 KB
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canonicalize(fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = canonicalize(fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    assert a.equals(b), f"{key}: output changed with partition layout"
