@@ -30,9 +30,14 @@ from pyspark.sql import Column, functions as F
 
 
 def _rev_e4_term(price: str, disc: str, cond: str | None) -> str:
+    # floor(x*100 + 0.5), not round(): exact for non-negative 2-dp values
+    # (the double error of x*100 is far below 0.5), identical in both
+    # engines on the identical stored double, and it stays in plain
+    # double math inside codegen — Spark's round() lowers to a per-row
+    # BigDecimal HALF_UP, which measured 2× on the flagship's scan stage.
     term = (
-        f"CAST(round({price} * 100, 0) AS BIGINT)"
-        f" * CAST(100 - round({disc} * 100, 0) AS BIGINT)"
+        f"CAST(floor({price} * 100 + 0.5) AS BIGINT)"
+        f" * CAST(100 - floor({disc} * 100 + 0.5) AS BIGINT)"
     )
     if cond is not None:
         term = f"CASE WHEN {cond} THEN {term} ELSE 0 END"

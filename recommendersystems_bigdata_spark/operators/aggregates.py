@@ -20,14 +20,14 @@ from recommendersystems_bigdata_spark.registry import query
     "q_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0            AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0       AS sum_base_price,
-           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50)
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0         AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0    AS sum_base_price,
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)) + 50)
             // 100) / 100.0                                                   AS sum_disc_price,
-           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * CAST(100 - round(l_discount * 100, 0) AS BIGINT)
-                 * CAST(100 + round(l_tax * 100, 0) AS BIGINT)) + 5000)
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)
+                 * CAST(100 + floor(l_tax * 100 + 0.5) AS BIGINT)) + 5000)
             // 10000) / 100.0                                                 AS sum_charge,
            round(avg(l_quantity), 2)                                          AS avg_qty,
            round(avg(l_extendedprice), 2)                                     AS avg_price,
@@ -60,10 +60,13 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38) accumulators unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_f = (100 - F.round(F.col("l_discount") * 100, 0)).cast("long")
-    tax_f = (100 + F.round(F.col("l_tax") * 100, 0)).cast("long")
+    # floor(x*100 + 0.5) = exact cents for these non-negative 2-dp values,
+    # in plain codegen double math (F.round would be a per-row BigDecimal
+    # — measured 2× on this scan stage; see functions/exactmath.py)
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_f = (100 - F.floor(F.col("l_discount") * 100 + 0.5)).cast("long")
+    tax_f = (100 + F.floor(F.col("l_tax") * 100 + 0.5)).cast("long")
     agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
