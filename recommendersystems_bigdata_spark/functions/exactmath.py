@@ -64,6 +64,9 @@ def revenue_sum_sql(
     disc: str = "l_discount",
     cond: str | None = None,
 ) -> str:
-    """DuckDB spelling of :func:`revenue_sum_col` (`//` floors like
-    Spark's `div` truncates — identical on these non-negative sums)."""
+    """DuckDB spelling of :func:`revenue_sum_col`. DuckDB's `//` on
+    INTEGER operands truncates toward zero exactly like Spark's `div`
+    (measured: (-7)//2 = -3 — its "floor division" doc applies to
+    floats), so the two spellings agree for any sign; the +50 half-up
+    additionally assumes non-negative sums, which revenue satisfies."""
     return f"((sum({_rev_e4_term(price, disc, cond)}) + 50) // 100) / 100.0"

@@ -78,12 +78,13 @@ def _sql_text(preds, combiner, group_col):
     # differs between engines (and between Spark partition layouts), which
     # flips 2/4-dp rounding when the true value sits on a boundary
     # (observed: avg 4491.07375 → .0737 vs .0738). The average is then
-    # reported as a FLOOR-DIVIDED integer (1e-4 currency units), not a
+    # reported as a TRUNC-DIVIDED integer (1e-4 currency units), not a
     # round()ed float: on exact decimal ties round() itself diverges —
     # Spark rounds the shortest decimal representation (HALF_UP on
     # BigDecimal.valueOf), DuckDB rounds in double space (x*10^4 carries
-    # error across the .5) — observed again at avg 5588.34625. Floor
-    # division is the one quotient both engines define identically.
+    # error across the .5) — observed again at avg 5588.34625.
+    # Truncating integer division (Spark `div` ≡ DuckDB integer `//`) is
+    # the one quotient both engines define identically for any sign.
     # total_bal's round is safe: cents/100.0 never has >2 decimals.
     where = f" {combiner} ".join(f"({col} {op} {lit(val)})" for col, op, val in preds)
     return f"""
@@ -118,17 +119,25 @@ def test_random_filter_agg_matches_duckdb(spark, sf_dir, duck, spec):
     preds, combiner, group_col = spec
     df = _spark_filter(load_table(spark, sf_dir, "customer"), preds, combiner)
     cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
-    # F.floor of the double quotient == exact floor division here: the
-    # numerator is < 2^53 by orders of magnitude, so the correctly-rounded
-    # double division cannot cross an integer boundary (matches DuckDB //,
-    # including on negative sums, where Spark's integer `div` truncates).
+    # TRUNCATING integer division on both sides: Spark `div` truncates
+    # toward zero, and so does DuckDB's `//` on INTEGER operands
+    # (measured: (-7)//2 = -3, not -4 — its "floor division" doc applies
+    # to floats). A float-floor spelling here diverged by 1 on negative
+    # averages at fuzz example ~500.
     spark_pdf = (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(cents) / 100.0, 2).alias("total_bal"),
-            F.floor(F.sum(cents) * 100 / F.count(F.lit(1))).cast("long").alias("avg_bal_e4"),
+            F.sum(cents).alias("_tc"),
             F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .select(
+            group_col,
+            "n",
+            "total_bal",
+            F.expr("CAST((_tc * 100) div n AS BIGINT)").alias("avg_bal_e4"),
+            "n_nations",
         )
         .toPandas()
     )
@@ -280,7 +289,9 @@ def _win_exprs(fn):
             return F.round(F.sum(cents).over(run) / 100.0, 2)
         if fn == "moving_avg":
             mov = w.rowsBetween(-3, Window.currentRow)
-            # exact floor division (numerator ≪ 2^53; all values positive)
+            # float-floor == DuckDB's truncating integer `//` ONLY because
+            # these sums are positive and ≪ 2^53 (exact double division
+            # cannot cross an integer boundary at this magnitude)
             return F.floor(
                 F.sum(cents).over(mov) * 100 / F.count(F.lit(1)).over(mov)
             ).cast("long")
