@@ -285,11 +285,17 @@ def q_udtf_topn_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One input row fans out to ≤3 output rows; tokenization is a plain
     single-space split (matching the SQL twin exactly), ranking by
-    (count desc, token asc) is tie-free.
+    (count desc, token asc) is tie-free. ``useArrow=True`` makes this an
+    Arrow-batched UDTF (ArrowEvalPythonUDTF): the eval loop is still
+    per-row by UDTF contract, but row transfer is columnar — keeping j1
+    the registry's only row-pickled Python boundary (plan-asserted).
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, token string, cnt bigint, token_rank bigint")
+    @udtf(
+        returnType="doc_id bigint, token string, cnt bigint, token_rank bigint",
+        useArrow=True,
+    )
     class TopTokens:
         def eval(self, doc_id: int, text: str):
             from collections import Counter

@@ -27,8 +27,10 @@ from recommendersystems_bigdata_spark.registry import query
 
 # Shared oracle prefix: the co-purchase edge set, directed both ways, with
 # out-degrees. Matches the q_graph_triangles edge definition exactly.
-_EDGE_CTES = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Built as BODY + explicit WITH/WITH RECURSIVE prefixes (never a string
+# .replace over the shared text — a future edit introducing another 'WITH'
+# substring in the prefix would silently corrupt the recursive variant).
+_EDGE_CTES_BODY = """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
       FROM li a JOIN li b
@@ -41,6 +43,9 @@ _EDGE_CTES = """
     od AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
     nodes AS (SELECT src AS part, od AS degree FROM od)
 """
+
+_EDGE_CTES = "\n    WITH " + _EDGE_CTES_BODY
+_EDGE_CTES_RECURSIVE = "\n    WITH RECURSIVE " + _EDGE_CTES_BODY
 
 _PR_ITERS = 3
 
@@ -191,7 +196,7 @@ def min_label_components(edges: DataFrame) -> DataFrame:
 
 @query(
     "q_graph_components",
-    oracle=_EDGE_CTES.replace("WITH", "WITH RECURSIVE")
+    oracle=_EDGE_CTES_RECURSIVE
     + """,
     walk(part, label) AS (
       SELECT part, part FROM nodes

@@ -270,13 +270,17 @@ def q_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = pipe.fit(docs)
     out = model.transform(docs)
 
-    # VectorUDT can't cross the Arrow boundary (mapInPandas rejects UDTs),
-    # and a JVM-side reconstruction was measured NOT equivalent: MLlib's
-    # HashingTF buckets via Murmur3 hashUnsafeBytes2 (Scala-collection-
-    # consistent tail mixing), while F.hash is catalyst hashUnsafeBytes —
-    # same nnz, different bucket ids on every doc. So a row-at-a-time UDF
-    # handles the sparse vector directly. Off the hot path by design —
-    # this query is a feature-pipeline check, not a bench.
+    # VectorUDT can't cross the pandas_udf/mapInPandas Arrow boundary
+    # (UDTs are rejected there), and a JVM-side reconstruction was measured
+    # NOT equivalent: MLlib's HashingTF buckets via Murmur3
+    # hashUnsafeBytes2 (Scala-collection-consistent tail mixing), while
+    # F.hash is catalyst hashUnsafeBytes — same nnz, different bucket ids
+    # on every doc. vector_to_array would densify 2^18 doubles per row —
+    # worse than any UDF. So the sparse vector is read by an
+    # Arrow-OPTIMIZED Python UDF (useArrow=True): UDT values arrive
+    # Arrow-batched (ArrowEvalPython, not row-pickled BatchEvalPython),
+    # keeping j1 the only deliberate row-at-a-time UDF in the registry
+    # (plan-asserted in tests/test_plans.py).
     from pyspark.sql.types import LongType
 
     def nnz_of(v):
@@ -285,8 +289,8 @@ def q_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     def top_idx_of(v):
         return int(v.indices[int(v.values.argmax())]) if v.numNonzeros() else -1
 
-    nnz_udf = F.udf(nnz_of, LongType())
-    top_udf = F.udf(top_idx_of, LongType())
+    nnz_udf = F.udf(nnz_of, LongType(), useArrow=True)
+    top_udf = F.udf(top_idx_of, LongType(), useArrow=True)
     return out.select(
         "doc_id", nnz_udf("tfidf").alias("nnz"), top_udf("tfidf").alias("top_feature_idx")
     )

@@ -85,13 +85,32 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # charge sum exceeds double's exact-integer range at sf≥0.1, so no
     # float floor), THEN the exact /100.0 — never round() a tie-capable
     # float
+    #
+    # Overflow guard (runs on the handful of post-agg group rows, zero
+    # hot-path cost): the BIGINT _sc_e6 accumulator wraps silently in
+    # non-ANSI mode, but _sbp_c is an exact witness for its magnitude —
+    # per row charge_e6 = price_c·disc_f·tax_f ≤ price_c·100·200 (disc
+    # ∈ [0,1] ⇒ disc_f ≤ 100; tax ≤ 1.0 ⇒ tax_f ≤ 200, generous vs
+    # TPC-H's 0.08), so true _sc_e6 ≤ _sbp_c·20000. If _sbp_c stays
+    # under LONG_MAX/20000 no wrap can have happened; past it the query
+    # fails loudly with the widening instruction instead of returning a
+    # wrapped sum.
+    _long_max = (1 << 63) - 1
+    charge_e2 = F.when(
+        F.col("_sbp_c") > _long_max // 20000,
+        F.raise_error(F.lit(
+            "q_agg_pricing_summary: _sc_e6 BIGINT accumulator may have "
+            "overflowed at this scale; widen the charge sum to "
+            "DECIMAL(38,0) (see docstring)"
+        )).cast("long"),
+    ).otherwise(F.expr("(_sc_e6 + 5000) div 10000"))
     return agg.select(
         "l_returnflag",
         "l_linestatus",
         (F.col("_sq_c") / 100.0).alias("sum_qty"),
         (F.col("_sbp_c") / 100.0).alias("sum_base_price"),
         (F.expr("(_sdp_e4 + 50) div 100") / 100.0).alias("sum_disc_price"),
-        (F.expr("(_sc_e6 + 5000) div 10000") / 100.0).alias("sum_charge"),
+        (charge_e2 / 100.0).alias("sum_charge"),
         "avg_qty",
         "avg_price",
         "avg_disc",

@@ -536,9 +536,9 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q3_shipping",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+           {revenue_sum_sql()} AS revenue,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -585,9 +585,9 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q5_local_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+           {revenue_sum_sql()} AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -641,9 +641,9 @@ def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q10_returns",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(100 - round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+           {revenue_sum_sql()} AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -769,9 +769,17 @@ def asof_backward_join(
     as every engine's asof implementation).
     """
     left_cols = [c for c in left.columns]
-    reserved = {"_k", "_ts", "_side", "_r_ts", "_m", "_asof_ts", "ts"} & set(payload_cols)
+    internals = {"_k", "_ts", "_side", "_r_ts", "_m", "_asof_ts"}
+    reserved = (internals | {"ts"}) & set(payload_cols)
     if reserved:
         raise ValueError(f"payload column names collide with internals: {sorted(reserved)}")
+    # The left frame's columns survive the union verbatim, so they must not
+    # shadow the internal bookkeeping names either (a left `_k`/_ts/_side/
+    # _r_ts would duplicate after the select; a left `_m`/_asof_ts would
+    # collide with the carried-struct output).
+    bad_left = internals & set(left_cols)
+    if bad_left:
+        raise ValueError(f"left column names collide with internals: {sorted(bad_left)}")
     overlap = set(left_cols) & set(payload_cols)
     if overlap:
         raise ValueError(f"payload columns shadow left columns: {sorted(overlap)}")

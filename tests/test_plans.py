@@ -485,6 +485,12 @@ def test_no_unadjudicated_scale_killers(q, key):
         assert key in _CARTESIAN_ALLOWED, f"{key}: unadjudicated CartesianProduct\n{plan}"
     if "BroadcastNestedLoopJoin" in plan:
         assert key in _BNLJ_ALLOWED, f"{key}: unadjudicated BroadcastNestedLoopJoin\n{plan}"
+    # Row-pickled Python UDFs are the slow path; the ONLY key allowed to
+    # carry one is j1 (q_udf_python), whose point IS the row-at-a-time
+    # contract. Everything else must be JVM-native or Arrow-batched
+    # (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas).
+    if "BatchEvalPython" in plan:
+        assert key == "q_udf_python", f"{key}: row-pickled Python UDF\n{plan}"
 
 
 def test_global_shuffle_offset_join_is_broadcast(q):
