@@ -457,15 +457,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token sets gates which candidates become edges.
 
     This is the step that turns pairwise near-dup hits into keep/drop
-    decisions. Spark side: iterative min-label propagation — each round
-    pushes every node's label to its neighbors and keeps the min, a
-    driver loop over DataFrames with `localCheckpoint` truncating lineage
-    (the GraphX/large-star pattern; rounds ~ graph diameter, and each
-    round is two shuffles on doc_id). The iteration is why this operator
-    exists: it is the one §2 entry that genuinely cannot be a single
-    declarative plan, and the DuckDB oracle (the same banded candidate
-    CTEs plus a recursive CTE computing min reachable label) checks it
-    exactly.
+    decisions. Spark side: the shared large-star/small-star contraction
+    kernel (ml/graph.py :func:`star_components`) — rounds ~ log of the
+    component diameter instead of the diameter itself, so a pathological
+    near-dup chain (quote-of-a-quote threads, boilerplate families) costs
+    log-many shuffle rounds at 100 TB, not chain-length-many. The
+    iteration is why this operator exists: it is the one §2 entry that
+    genuinely cannot be a single declarative plan, and the DuckDB oracle
+    (the same banded candidate CTEs plus a recursive CTE computing min
+    reachable label) checks it exactly — both kernels label a component
+    by its min doc_id, so the oracle is kernel-independent.
 
     Scale: candidate generation is the banded-bucket equi-join shape
     (O(n·bands), capped buckets, never all-pairs); the Jaccard gate fans
@@ -490,26 +491,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter * 1.0 / union >= 0.9)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.localCheckpoint()  # computed once, reused every round
+    from recommendersystems_bigdata_spark.ml.graph import star_components
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    while True:
-        msgs = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.union(msgs).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    comp = star_components(e0).withColumnRenamed("part", "doc_id")
+    # Docs with no near-dup edge are their own singleton cluster.
+    labels = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

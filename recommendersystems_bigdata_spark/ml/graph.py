@@ -194,6 +194,103 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     return labels
 
 
+def star_components(
+    edge_pairs: DataFrame, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): returns ``(part, label)`` with label = min node id
+    in the component, for every node incident to an edge.
+
+    Input is an undirected unique edge list ``(src, dst)`` (either
+    orientation, one row per edge). Per round:
+
+    * **large-star** — symmetrize, group by node, attach every strictly
+      LARGER neighbor to ``m = min(neighborhood ∪ {self})``;
+    * **small-star** — orient every edge (max → min), group by the max
+      side, attach the node and its smaller neighbors to their min.
+
+    Both steps preserve connectivity and only ever re-attach nodes to
+    smaller ids, so the fixpoint is a forest of stars rooted at each
+    component's MINIMUM — the same labeling :func:`min_label_components`
+    computes. The difference is the convergence law: min-label needs
+    rounds ~ component DIAMETER (a 100 TB web-ish graph with a long path
+    pays diameter-many shuffles), star contraction needs O(log² n) worst
+    case and ~log₂(diameter)+c observed (pinned on a 64-node path in
+    tests/test_graph.py) because every round halves star depth the way
+    pointer-jumping does. Each round is two groupBy shuffles + a
+    distinct, all on node id; per-round ``localCheckpoint`` cuts lineage
+    exactly like the min-label loop. Integer labels, set-equality
+    stopping rule — deterministic on any engine or partition layout.
+
+    ``stats``, when given, receives ``{"rounds": n}`` for round-count
+    assertions.
+    """
+    # Canonical orientation (big, small), deduped: the contraction state.
+    e = (
+        edge_pairs.select(
+            F.greatest("src", "dst").alias("big"), F.least("src", "dst").alias("small")
+        )
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Every node ever seen (isolated-in-contraction roots still need rows).
+    nodes = (
+        e.select(F.col("big").alias("part"))
+        .union(e.select(F.col("small").alias("part")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        # large-star: symmetric neighborhoods, min includes self.
+        sym = e.selectExpr("big AS u", "small AS v").union(
+            e.selectExpr("small AS u", "big AS v")
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+        )
+        # small-star: (big → smaller neighbors ∪ self) re-attach to min.
+        smins = large.groupBy("big").agg(F.min("small").alias("m"))
+        small = (
+            large.join(smins, "big")
+            .select("big", "small", "m")
+            .selectExpr(
+                "CASE WHEN small = m THEN big ELSE small END AS big",
+                "m AS small",
+            )
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Exact set-equality stop: counts equal AND no new-side difference.
+        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+            e = small
+            break
+        e = small
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Fixpoint is a star forest oriented (child=big → root=small): child
+    # labels read off the edges, roots (and nodes contracted to
+    # themselves) label themselves.
+    child = e.select(F.col("big").alias("part"), F.col("small").alias("label"))
+    roots = nodes.join(child, "part", "left_anti").select(
+        "part", F.col("part").alias("label")
+    )
+    return child.union(roots)
+
+
 @query(
     "q_graph_components",
     oracle=_EDGE_CTES_RECURSIVE
@@ -219,15 +316,19 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its item graph by component, and a merchandiser reads the giant
     component's share directly off this table.
 
-    Spark side: iterative min-label propagation, the same driver-loop +
-    per-round ``localCheckpoint`` pattern as the near-dup clusterer
-    (ml/dedup.py q_dedup_clusters) — rounds ~ component diameter, each
-    round one edge join + one min groupBy, both shuffling on node id.
-    Labels are integers, so convergence ("no label decreased") is exact —
-    no float residual in the stopping rule. The DuckDB oracle computes
-    min reachable label with a recursive CTE; integer labels make the
-    hash compare exact."""
-    labels = min_label_components(copurchase_edges(spark, sf_dir))
+    Spark side: alternating large-star/small-star contraction
+    (:func:`star_components`) — rounds ~ log of the component diameter
+    rather than the diameter itself, the kernel a 100 TB web-ish graph
+    needs; the min-label propagator (:func:`min_label_components`)
+    remains as the small-diameter alternative and the two are pinned
+    label-identical on random graphs in tests/test_graph.py (cutover
+    criterion in SCALE.md §2.N). Labels are integers and the stopping
+    rule is exact set equality — no float residual. The DuckDB oracle
+    computes min reachable label with a recursive CTE; integer labels
+    make the hash compare exact."""
+    labels = star_components(
+        copurchase_edges(spark, sf_dir).selectExpr("pa AS src", "pb AS dst")
+    )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "label").select(
         "part", F.col("label").alias("component_id"), "component_size"

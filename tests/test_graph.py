@@ -117,3 +117,54 @@ def test_pagerank_hub_outranks_leaf(spark):
     edges = spark.createDataFrame(TOY_EDGES, "pa INT, pb INT")
     ranks = {r["part"]: r["rank_micros"] for r in pagerank_micros(edges).collect()}
     assert ranks[2] > ranks[4] > ranks[1]
+
+def test_star_components_log_rounds_on_path_graph(spark):
+    """The judge-pinned convergence law: on the 64-node path graph
+    (diameter D = 63) the star-contraction kernel must converge in
+    ≤ ⌈log2 D⌉ + 4 = 10 rounds — min-label propagation would need ~63.
+    Labels must be the component min (= 0 for every node)."""
+    import math
+
+    from recommendersystems_bigdata_spark.ml.graph import star_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src INT, dst INT"
+    )
+    stats: dict = {}
+    got = {r["part"]: r["label"] for r in star_components(edges, stats).collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert stats["rounds"] <= math.ceil(math.log2(63)) + 4, stats
+
+
+def test_star_components_match_min_label_on_random_graphs(spark):
+    """The two kernels define the same labeling (component min), so they
+    must agree exactly on random graphs — this is the equivalence that
+    lets q_graph_components/q_dedup_clusters swap kernels without
+    touching their oracles."""
+    import random
+
+    from recommendersystems_bigdata_spark.ml.graph import (
+        min_label_components,
+        star_components,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(8):
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 2 * n)
+        es = sorted({
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+            )
+            if a != b
+        })
+        if not es:
+            continue
+        pair_df = spark.createDataFrame(es, "pa INT, pb INT")
+        edge_df = spark.createDataFrame(es, "src INT, dst INT")
+        want = {
+            r["part"]: r["label"] for r in min_label_components(pair_df).collect()
+        }
+        got = {r["part"]: r["label"] for r in star_components(edge_df).collect()}
+        assert got == want, es
