@@ -7,7 +7,7 @@ relies on for partition pruning (write once, prune every read).
 
 from __future__ import annotations
 
-import tempfile
+from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -105,7 +105,7 @@ def q_io_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     or drops rows hash-mismatches — a real oracle check, not a smoke.
     """
     nation = load_table(spark, sf_dir, "nation")
-    base = tempfile.mkdtemp(prefix="rsbd_io_")
+    base = scratch_dir("io_roundtrip")
     nation.write.mode("overwrite").option("header", True).csv(f"{base}/nation_csv")
     nation.write.mode("overwrite").json(f"{base}/nation_json")
     csv_df = spark.read.option("header", True).option("inferSchema", True).csv(f"{base}/nation_csv")
@@ -141,7 +141,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table (write → read → aggregate ≡ aggregate).
     """
     events = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="rsbd_sink_")
+    base = scratch_dir("sink_partitioned")
     events.write.mode("overwrite").partitionBy("event_type").parquet(f"{base}/events_part")
     back = spark.read.parquet(f"{base}/events_part")
     return (

@@ -9,7 +9,7 @@ real oracle checks.
 
 from __future__ import annotations
 
-import tempfile
+from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -67,7 +67,7 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="rsbd_compact_")
+    base = scratch_dir("compact")
 
     ev.repartition(64).write.mode("overwrite").parquet(f"{base}/fragmented")
     frag = spark.read.parquet(f"{base}/fragmented")
@@ -97,7 +97,7 @@ def q_io_orc_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     split + casts, the standard ELT first step.
     """
     nation = load_table(spark, sf_dir, "nation")
-    base = tempfile.mkdtemp(prefix="rsbd_fmt_")
+    base = scratch_dir("fmt_roundtrip")
 
     nation.write.mode("overwrite").orc(f"{base}/nation_orc")
     orc_df = spark.read.orc(f"{base}/nation_orc")

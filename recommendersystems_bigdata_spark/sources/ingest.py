@@ -16,7 +16,7 @@ the declared semantics, the hash check fails.
 
 from __future__ import annotations
 
-import tempfile
+from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -55,7 +55,7 @@ def q_scan_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine column pattern is the production shape: corrupt raw lines
     stay addressable for replay instead of vanishing."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = tempfile.mkdtemp(prefix="rsbd_ingest_json_")
+    base = scratch_dir("ingest_json")
     path = f"{base}/docs_jsonl"
     line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
     docs.select(
@@ -111,7 +111,7 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated groupBy. Null-extension happens at the
     reader's projection, map-side."""
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="rsbd_ingest_evo_")
+    base = scratch_dir("ingest_evo")
     old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
     new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
     old.write.mode("overwrite").parquet(f"{base}/s_old")

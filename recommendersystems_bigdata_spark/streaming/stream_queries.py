@@ -14,12 +14,14 @@ broadcast the static dim per micro-batch.
 from __future__ import annotations
 
 import glob as _glob
+import hashlib
 import os
-import tempfile
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -71,7 +73,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, StructTy
     key = os.path.abspath(sf_dir)
     if key in _STREAM_SRC:
         return _STREAM_SRC[key]
-    out = tempfile.mkdtemp(prefix="rsbd_stream_src_")
+    out = scratch_dir("stream_src_" + hashlib.md5(key.encode()).hexdigest()[:8])
     ev = load_table(spark, sf_dir, "events")  # ts already µs timestamp_ntz
     n_rows = ev.count()
     w = Window.orderBy("ts", "event_id")
@@ -115,7 +117,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a stream into a memory sink with availableNow; return the result."""
     name = "mem_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="rsbd_ckpt_")
+    ckpt = scratch_dir("ckpt_" + name)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -263,14 +265,14 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     any non-idempotent store. Returns the per-batch row counts read back
     from the sink directories — total must equal the source row count.
     """
-    base = tempfile.mkdtemp(prefix="rsbd_febatch_")
+    base = scratch_dir("febatch")
     agg = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # overwrite => replaying the same batch_id after a crash is a no-op
         batch_df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
 
-    ckpt = tempfile.mkdtemp(prefix="rsbd_ckpt_")
+    ckpt = scratch_dir("febatch_ckpt")
     q = (
         agg.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
