@@ -219,3 +219,68 @@ def test_weighted_sample_keeps_all_long_docs(spark, sf_dir):
     )
     realized = kept.count() / docs.count()
     assert abs(realized - expected) < 0.15, (realized, expected)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz (VERDICT r6 #6): m9/m10/m11 determinism under physically
+# reordered input. Each example rewrites `documents` in a RANDOM row order
+# and partition count to a scratch sf_dir, runs the seeded-hash curation
+# query on it, and requires the output to be IDENTICAL to the baseline run
+# on the pristine table — the property that makes a 100 TB shuffle/
+# interleave/sample reproducible across cluster sizes, file layouts, and
+# backfills. (The earlier shuffle-partition tests vary the EXCHANGE layout;
+# this varies the SOURCE layout, which those can't reach.)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.oracle import canonicalize
+from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
+
+_DERANDOMIZE = _os.environ.get("FUZZ_DEEP") is None
+_EXAMPLES = int(_os.environ.get("FUZZ_EXAMPLES", "0"))
+
+_M_KEYS = (
+    "q_curate_global_shuffle",   # m9
+    "q_curate_interleave",       # m10
+    "q_curate_weighted_sample",  # m11
+)
+
+_BASELINES: dict[str, object] = {}
+
+
+def _baseline(key, spark, sf_dir):
+    if key not in _BASELINES:
+        _BASELINES[key] = canonicalize(
+            registry.QUERIES[key](spark, sf_dir).toPandas()
+        )
+    return _BASELINES[key]
+
+
+@settings(
+    max_examples=_EXAMPLES or 6,
+    deadline=None,
+    derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    key=st.sampled_from(_M_KEYS),
+    seed=st.integers(0, 2**31 - 1),
+    nparts=st.integers(1, 7),
+)
+def test_curation_deterministic_under_reordered_input(spark, sf_dir, key, seed, nparts):
+    docs = load_table(spark, sf_dir, "documents")
+    base = scratch_dir("fuzz_curation_relayout")
+    (
+        docs.orderBy(F.rand(seed))
+        .repartition(nparts)
+        .write.mode("overwrite")
+        .parquet(f"{base}/documents.parquet")
+    )
+    relaid = canonicalize(registry.QUERIES[key](spark, base).toPandas())
+    assert relaid.equals(_baseline(key, spark, sf_dir)), (
+        f"{key}: output changed under reordered input (seed={seed}, nparts={nparts})"
+    )

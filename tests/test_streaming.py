@@ -347,3 +347,45 @@ def test_stream_result_invariant_to_chunk_count(spark, sf_dir, key):
         f"{key}: emitted set changed with chunking "
         f"({len(baseline)} rows at 4 chunks vs {len(rechunked)} at 16)"
     )
+
+
+@pytest.mark.parametrize(
+    "key", ["q_stream_stateful_count", "q_stream_session_window"]
+)
+def test_stateful_queries_under_rocksdb_state_store(spark, sf_dir, key):
+    """VERDICT r6 #3: the RocksDB state-store provider (the 100 TB-key-
+    cardinality configuration — off-heap disk-backed state, incremental
+    checkpoints; session.py exposes it via ``rocksdb_state_store=True`` /
+    ``SPARK_GRAFT_ROCKSDB_STATE=1``) must produce the IDENTICAL emitted
+    set as the default HDFS-backed store. The provider conf is read per
+    streaming query at start, so flipping it at runtime on the shared
+    session exercises the same code path ``get_spark`` configures."""
+    from recommendersystems_bigdata_spark import registry
+    from recommendersystems_bigdata_spark.session import (
+        ROCKSDB_PROVIDER_CLASS,
+        ROCKSDB_PROVIDER_CONF,
+    )
+
+    registry.load_all()
+    fn = registry.QUERIES[key]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = rows(fn(spark, sf_dir))
+    assert baseline, f"{key}: baseline stream emitted nothing"
+
+    saved = spark.conf.get(ROCKSDB_PROVIDER_CONF, None)
+    try:
+        spark.conf.set(ROCKSDB_PROVIDER_CONF, ROCKSDB_PROVIDER_CLASS)
+        under_rocksdb = rows(fn(spark, sf_dir))
+    finally:
+        if saved is None:
+            spark.conf.unset(ROCKSDB_PROVIDER_CONF)
+        else:
+            spark.conf.set(ROCKSDB_PROVIDER_CONF, saved)
+
+    assert under_rocksdb == baseline, (
+        f"{key}: RocksDB state store changed the emitted set "
+        f"({len(baseline)} vs {len(under_rocksdb)} rows)"
+    )
