@@ -125,3 +125,61 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("source").isNotNull(), 1).otherwise(0)
         ).cast("long").alias("n_with_source"),
     )
+
+
+@query(
+    "q_sink_partitioned_daily",
+    oracle="""
+    SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS event_date,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    """,
+)
+def q_sink_partitioned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a5b — DATE-partitioned parquet sink + partition-pruned read-back
+    (VERDICT r6 #7: the executable form of SCALE.md's "partition by date
+    at 100 TB" claim, next to a5's event_type layout).
+
+    Writes ``events`` partitioned by ``event_date = to_date(ts)`` — the
+    production layout for an append-only event lake: ~30 partitions here,
+    one per day at any scale, so ingest appends to exactly one directory
+    per day and retention drops whole directories. The read-back filters
+    one calendar week ON THE PARTITION COLUMN, which prunes 23 of 30
+    directories at planning time (``PartitionFilters`` with no pushed
+    data filter — asserted in tests/test_plans.py, along with the DPP
+    variant where the week arrives via a joined dimension instead of a
+    literal). The aggregate over the surviving week must hash-match the
+    oracle computed on the unpartitioned source: write → prune → read →
+    aggregate ≡ filter → aggregate, i.e. the layout is lossless and the
+    pruning is correct, not just fast.
+
+    Scale design: day-granular directories keep per-partition file counts
+    bounded (a date+hour or date+bucket scheme is the same plan shape);
+    ``round(sum(value), 2)`` is layout-safe here because value is a 2-dp
+    quantity (exactmath.py module docstring). The ``repartition`` on the
+    partition column before the write keeps one task per day directory
+    instead of every task writing every day — the small-files discipline
+    a 1000-executor ingest needs. The result's date is emitted as its ISO
+    string (repo convention for date-keyed oracles)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    base = scratch_dir("sink_daily")
+    # repartition by the partition column so each output directory is
+    # written by one task (bounded file count), not by every task
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(f"{base}/events_daily")
+    back = spark.read.parquet(f"{base}/events_daily")
+    return (
+        back.filter(
+            F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -506,3 +506,60 @@ def test_global_shuffle_offset_join_is_broadcast(q):
         assert plan.count("Exchange SinglePartition") <= 1, f"{key}:\n{plan}"
         # the corpus side is a checkpoint scan — no re-shuffle of the data
         assert "Exchange hashpartitioning(doc_id" not in plan, f"{key}:\n{plan}"
+
+
+def test_daily_sink_readback_prunes_partitions(q):
+    """a5b: the date-partitioned sink's read-back must prune directories at
+    PLANNING time — the week filter appears as PartitionFilters on the
+    scan, and no data filter needs pushing (the partition column never
+    lives in the data files). This is the property that makes a 30-day
+    window query on a 100 TB event lake scan 30 directories, not 10 000."""
+    plan = full_explain(q("q_sink_partitioned_daily"))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    line = pf[0]
+    assert "event_date" in line and ">=" in line and "<=" in line, line
+
+
+def test_daily_sink_supports_dynamic_partition_pruning(spark, sf_dir):
+    """a5b's DPP twin: when the week arrives through a JOINED dimension
+    (the production shape — a date dim row-filtered at runtime) instead of
+    a literal, Spark must insert a dynamicpruning subquery into the scan's
+    PartitionFilters, so only the dim-selected directories are read. The
+    result must equal the literal-filter spelling."""
+    from pyspark.sql import functions as F
+
+    from recommendersystems_bigdata_spark.catalog import load_table
+    from recommendersystems_bigdata_spark.plans import full_explain
+    from recommendersystems_bigdata_spark.tmpdirs import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    base = scratch_dir("plan_dpp")
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(f"{base}/ed")
+    back = spark.read.parquet(f"{base}/ed")
+
+    dim = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", "wk2" if d < 15 else "wk3") for d in range(8, 22)],
+        "d STRING, wk STRING",
+    ).select(F.to_date("d").alias("event_date"), "wk")
+    joined = (
+        back.join(F.broadcast(dim.filter(F.col("wk") == "wk2")), "event_date")
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = full_explain(joined)
+    assert "dynamicpruning" in plan, plan
+
+    via_dpp = {(str(r["event_date"]), r["n"]) for r in joined.collect()}
+    via_literal = {
+        (str(r["event_date"]), r["n"])
+        for r in back.filter(
+            F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert via_dpp == via_literal and via_dpp
