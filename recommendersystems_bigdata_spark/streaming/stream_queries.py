@@ -72,7 +72,14 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, StructTy
     """
     key = os.path.abspath(sf_dir)
     if key in _STREAM_SRC:
-        return _STREAM_SRC[key]
+        # Validate the cached generation still exists: scratch_dir prunes
+        # generations KEEP_GENERATIONS behind, so a cache entry restored
+        # after other callers cycled the tag (the chunk-invariance tests
+        # do) can dangle. Re-materialize instead of streaming a deleted
+        # directory.
+        if os.path.isdir(_STREAM_SRC[key][0]):
+            return _STREAM_SRC[key]
+        del _STREAM_SRC[key]
     out = scratch_dir("stream_src_" + hashlib.md5(key.encode()).hexdigest()[:8])
     ev = load_table(spark, sf_dir, "events")  # ts already µs timestamp_ntz
     n_rows = ev.count()
