@@ -20,7 +20,7 @@ an exact hash match rather than a tolerance band.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_tables
 from recommendersystems_bigdata_spark.registry import query
@@ -218,10 +218,26 @@ def star_components(
     pays diameter-many shuffles), star contraction needs O(log² n) worst
     case and ~log₂(diameter)+c observed (pinned on a 64-node path in
     tests/test_graph.py) because every round halves star depth the way
-    pointer-jumping does. Each round is two groupBy shuffles + a
-    distinct, all on node id; per-round ``localCheckpoint`` cuts lineage
-    exactly like the min-label loop. Integer labels, set-equality
-    stopping rule — deterministic on any engine or partition layout.
+    pointer-jumping does. Each round is two whole-partition window-min
+    exchanges + one distinct, all on node id (round 7: the windows
+    replaced groupBy-then-join pairs — one exchange each instead of two,
+    same co-partitioning and skew bound; and the large-star intermediate
+    is NOT distinct'd, since the small-star min is duplicate-insensitive
+    and the round's final distinct dedupes the output); per-round
+    ``localCheckpoint`` cuts lineage exactly like the min-label loop.
+
+    Stopping rule — exact, two-tier (round 7): each round one aggregate
+    job fingerprints the checkpointed edge set as ``(count,
+    sum(xxhash64(big, small)) in decimal(38,0))`` — a commutative exact
+    integer pair, layout/order-invariant, overflow-free. Only when the
+    fingerprint equals the previous round's does the loop run the exact
+    ``exceptAll`` set-difference confirmation (equal cardinality + empty
+    one-sided difference ⊢ set equality, so a hash collision can never
+    terminate early — it only costs one extra confirmation join). This
+    replaces two count jobs + a per-candidate-round join with one cheap
+    agg per round; profiled at sf0.1 the old stop checks were ~35% of
+    loop wall time on a 146-edge graph, and at 100 TB the saved
+    ``exceptAll`` rounds are full shuffle joins of the edge set.
 
     ``stats``, when given, receives ``{"rounds": n}`` for round-count
     assertions.
@@ -242,30 +258,42 @@ def star_components(
         .distinct()
         .localCheckpoint()
     )
+    def fingerprint(df: DataFrame) -> tuple:
+        """(count, exact hash-sum) of a canonical edge frame — one job."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("big", "small").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = fingerprint(e)
     rounds = 0
     while True:
         rounds += 1
-        # large-star: symmetric neighborhoods, min includes self.
+        # large-star: symmetric neighborhoods, min includes self. The
+        # neighborhood min is a whole-partition window over the node key
+        # — ONE exchange that both computes the min and leaves every
+        # (u, v) row annotated with it, where the groupBy+join spelling
+        # paid a second exchange (or a rebuilt hash side) to re-attach
+        # the min to the rows. Same co-partitioning, same skew bound (a
+        # hub's neighborhood lands in one task either way).
         sym = e.selectExpr("big AS u", "small AS v").union(
             e.selectExpr("small AS u", "big AS v")
         )
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
+        wu = Window.partitionBy("u")
+        # NOTE: no distinct on the intermediate — duplicates can't change
+        # the small-star min and the round's final distinct removes them
+        # from the output, so deduping here would only add an exchange.
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("big"), F.col("m").alias("small"))
             .filter(F.col("big") != F.col("small"))
-            .distinct()
         )
         # small-star: (big → smaller neighbors ∪ self) re-attach to min.
-        smins = large.groupBy("big").agg(F.min("small").alias("m"))
+        wb = Window.partitionBy("big")
         small = (
-            large.join(smins, "big")
-            .select("big", "small", "m")
+            large.withColumn("m", F.min("small").over(wb))
             .selectExpr(
                 "CASE WHEN small = m THEN big ELSE small END AS big",
                 "m AS small",
@@ -274,10 +302,15 @@ def star_components(
             .distinct()
             .localCheckpoint()
         )
-        # Exact set-equality stop: counts equal AND no new-side difference.
-        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+        # Two-tier exact stop: cheap exact fingerprint per round; on a
+        # fingerprint match, confirm set equality exactly (equal counts +
+        # empty one-sided difference) so a hash collision can only cost a
+        # wasted confirmation join, never a wrong early stop.
+        fp = fingerprint(small)
+        if fp == prev_fp and small.exceptAll(e).limit(1).count() == 0:
             e = small
             break
+        prev_fp = fp
         e = small
     if stats is not None:
         stats["rounds"] = rounds
