@@ -194,6 +194,46 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     return labels
 
 
+def star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round over a canonical
+    ``(big, small)`` edge frame; returns the next round's canonical frame
+    (not checkpointed — the loop owns materialization).
+
+    Plan shape (pinned in tests/test_plans.py): exactly the two
+    whole-partition window-min exchanges plus the output distinct — NO
+    join. The neighborhood min is a window over the node key — one
+    exchange that both computes the min and leaves every (u, v) row
+    annotated with it, where a groupBy+join spelling pays a second
+    exchange (or a rebuilt hash side) to re-attach the min. Same
+    co-partitioning, same skew bound (a hub's neighborhood lands in one
+    task either way). The large-star intermediate is NOT distinct'd:
+    duplicates can't change the small-star min and the final distinct
+    dedupes the output, so deduping it would only add an exchange.
+    """
+    # large-star: symmetric neighborhoods, min includes self.
+    sym = e.selectExpr("big AS u", "small AS v").union(
+        e.selectExpr("small AS u", "big AS v")
+    )
+    wu = Window.partitionBy("u")
+    large = (
+        sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("big"), F.col("m").alias("small"))
+        .filter(F.col("big") != F.col("small"))
+    )
+    # small-star: (big → smaller neighbors ∪ self) re-attach to min.
+    wb = Window.partitionBy("big")
+    return (
+        large.withColumn("m", F.min("small").over(wb))
+        .selectExpr(
+            "CASE WHEN small = m THEN big ELSE small END AS big",
+            "m AS small",
+        )
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+    )
+
+
 def star_components(
     edge_pairs: DataFrame, stats: dict | None = None
 ) -> DataFrame:
@@ -270,38 +310,7 @@ def star_components(
     rounds = 0
     while True:
         rounds += 1
-        # large-star: symmetric neighborhoods, min includes self. The
-        # neighborhood min is a whole-partition window over the node key
-        # — ONE exchange that both computes the min and leaves every
-        # (u, v) row annotated with it, where the groupBy+join spelling
-        # paid a second exchange (or a rebuilt hash side) to re-attach
-        # the min to the rows. Same co-partitioning, same skew bound (a
-        # hub's neighborhood lands in one task either way).
-        sym = e.selectExpr("big AS u", "small AS v").union(
-            e.selectExpr("small AS u", "big AS v")
-        )
-        wu = Window.partitionBy("u")
-        # NOTE: no distinct on the intermediate — duplicates can't change
-        # the small-star min and the round's final distinct removes them
-        # from the output, so deduping here would only add an exchange.
-        large = (
-            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("big"), F.col("m").alias("small"))
-            .filter(F.col("big") != F.col("small"))
-        )
-        # small-star: (big → smaller neighbors ∪ self) re-attach to min.
-        wb = Window.partitionBy("big")
-        small = (
-            large.withColumn("m", F.min("small").over(wb))
-            .selectExpr(
-                "CASE WHEN small = m THEN big ELSE small END AS big",
-                "m AS small",
-            )
-            .filter(F.col("big") != F.col("small"))
-            .distinct()
-            .localCheckpoint()
-        )
+        small = star_round(e).localCheckpoint()
         # Two-tier exact stop: cheap exact fingerprint per round; on a
         # fingerprint match, confirm set equality exactly (equal counts +
         # empty one-sided difference) so a hash collision can only cost a

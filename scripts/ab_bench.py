@@ -33,7 +33,12 @@ import time
 
 REPO = "/root/repo"
 PKG = "recommendersystems_bigdata_spark"
-DEFAULT_QUERIES = ("q_dedup_lsh_join", "q_str_split_explode", "q_interactions")
+DEFAULT_QUERIES = (
+    "q_dedup_lsh_join",
+    "q_str_split_explode",
+    "q_interactions",
+    "q_dedup_clusters",  # iterative driver-loop path (headline since r7)
+)
 N = 3
 
 

@@ -563,3 +563,23 @@ def test_daily_sink_supports_dynamic_partition_pruning(spark, sf_dir):
         .collect()
     }
     assert via_dpp == via_literal and via_dpp
+
+
+def test_star_round_plan_is_two_windows_no_join(spark):
+    """n3/l15 kernel (round-7 lowering): one contraction round must plan
+    as exactly the two whole-partition window-min exchanges plus the
+    output-distinct exchange — and NO join operator. A regression back to
+    the groupBy+join spelling doubles the per-round shuffles of the edge
+    set, which at 100 TB is the round's entire cost."""
+    from recommendersystems_bigdata_spark.ml.graph import star_round
+
+    e = spark.createDataFrame(
+        [(2, 1), (3, 2), (5, 4)], "big INT, small INT"
+    )
+    plan = physical_plan(star_round(e))
+    assert plan.count("Window") == 2, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+    # 2 window exchanges + 1 distinct exchange (+ the distinct's partial agg)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
