@@ -50,28 +50,6 @@ def _pop_pkg_modules() -> dict:
     return out
 
 
-def _load_queries(tree: str) -> tuple[dict, dict]:
-    """Import ``tree``'s registry; return (QUERIES dict, module snapshot).
-
-    Function objects keep their own __globals__, so the returned callables
-    stay valid after the snapshot is popped out of sys.modules; the
-    snapshot is swapped back in around each of the tree's timed runs so
-    lazy intra-package imports inside a query resolve to the same tree.
-    """
-    _pop_pkg_modules()
-    sys.path.insert(0, tree)
-    try:
-        import importlib
-
-        registry = importlib.import_module(f"{PKG}.registry")
-        registry.load_all()
-        queries = dict(registry.QUERIES)
-    finally:
-        sys.path.remove(tree)
-        snapshot = _pop_pkg_modules()
-    return queries, snapshot
-
-
 @contextlib.contextmanager
 def _tree_active(tree: str, snapshot: dict):
     """Swap ``tree``'s module snapshot into sys.modules and put the tree
@@ -89,6 +67,27 @@ def _tree_active(tree: str, snapshot: dict):
         snapshot.update(_pop_pkg_modules())
 
 
+def _load_queries(tree: str) -> tuple[dict, dict]:
+    """Import ``tree``'s registry; return (QUERIES dict, module snapshot).
+
+    Function objects keep their own __globals__, so the returned callables
+    stay valid after the snapshot is popped out of sys.modules; the
+    snapshot is swapped back in around each of the tree's timed runs so
+    lazy intra-package imports inside a query resolve to the same tree.
+    Runs as ``_tree_active`` with an empty starting snapshot — the
+    finally-clause fold captures every module the registry import pulled
+    in — so the swap discipline lives in exactly one place.
+    """
+    import importlib
+
+    snapshot: dict = {}
+    with _tree_active(tree, snapshot):
+        registry = importlib.import_module(f"{PKG}.registry")
+        registry.load_all()
+        queries = dict(registry.QUERIES)
+    return queries, snapshot
+
+
 def main() -> int:
     old_tree = sys.argv[1]
     names = sys.argv[2:] or list(DEFAULT_QUERIES)
@@ -96,6 +95,19 @@ def main() -> int:
 
     old_q, old_mods = _load_queries(old_tree)
     head_q, head_mods = _load_queries(REPO)
+
+    # Fail fast on queries either tree lacks (e.g. a key newer than the old
+    # tree): a KeyError after minutes of timed runs would discard every
+    # completed measurement.
+    missing = [n for n in names if n not in old_q or n not in head_q]
+    if missing:
+        avail = sorted(set(old_q) & set(head_q))
+        print(
+            f"ab_bench: not in both trees: {missing} "
+            f"(benchable: {len(avail)} shared keys)",
+            file=sys.stderr,
+        )
+        return 2
 
     with _tree_active(REPO, head_mods):
         from recommendersystems_bigdata_spark.session import get_spark
