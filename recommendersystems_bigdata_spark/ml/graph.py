@@ -420,3 +420,92 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n_parts * 10000) div n_total AS BIGINT)").alias("share_bp"),
         )
     )
+
+
+_BFS_HOPS = 4
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = _BFS_HOPS) -> DataFrame:
+    """Multi-source breadth-first hop distance over an undirected
+    ``(pa, pb)`` edge list, bounded at ``max_hops``: returns
+    ``(part, hops)`` for every node reachable from the seed set within
+    the bound, ``hops`` = exact minimum hop count (seeds at 0).
+
+    Frontier algorithm: round h joins ONLY the newly-reached frontier
+    onto the edge list and anti-joins the visited set, so per-round work
+    is proportional to the frontier's edge boundary, not the whole graph
+    — the textbook distributed-BFS shape (each round = one hash join on
+    node id + one distinct + one anti join, all shuffling on node id, so
+    a fixed partitioning co-locates them round over round). The horizon
+    is FIXED, matching the oracle's recursion bound, so round count is
+    data-independent; an exhausted frontier just makes the remaining
+    rounds empty-input no-ops (AQE collapses them). Per-round
+    ``localCheckpoint`` cuts lineage exactly as pagerank_micros does.
+    Hop distances are integers — the hash compare is exact."""
+    ed = edges.selectExpr("pa AS src", "pb AS dst").union(
+        edges.selectExpr("pb AS src", "pa AS dst")
+    ).localCheckpoint()
+    visited = seeds.select("part", F.lit(0).cast("long").alias("hops"))
+    frontier = visited.select("part").localCheckpoint()
+    for h in range(1, max_hops + 1):
+        reached = (
+            ed.join(frontier.withColumnRenamed("part", "src"), "src")
+            .select(F.col("dst").alias("part"))
+            .distinct()
+            .join(visited, "part", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.union(
+            reached.select("part", F.lit(h).cast("long").alias("hops"))
+        ).localCheckpoint()
+        frontier = reached
+    return visited
+
+
+@query(
+    "q_graph_bfs_reach",
+    oracle=_EDGE_CTES_RECURSIVE
+    + """,
+    seeds AS (SELECT part FROM nodes WHERE part % 17 = 0),
+    walk(part, hops) AS (
+      SELECT part, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hops + 1 FROM walk w JOIN ed e ON e.src = w.part
+      WHERE w.hops < 4
+    ),
+    dist AS (SELECT part, min(hops) AS hops FROM walk GROUP BY part)
+    SELECT n.part, CAST(coalesce(d.hops, -1) AS BIGINT) AS hops
+    FROM nodes n LEFT JOIN dist d USING (part)
+    """,
+)
+def q_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n4 — multi-source bounded BFS: exact hop distance from a seed item
+    set over the co-purchase graph, horizon 4; unreachable-within-horizon
+    nodes report −1. The neighborhood-expansion primitive behind
+    "items within k recommendation hops of the catalog anchors" and the
+    reachability leg of graph-based dedup triage — and the third
+    iteration archetype in §2.N next to the fixpoint contraction (n3)
+    and the fixed-iteration numeric loop (n1): fixed-horizon frontier
+    expansion with per-round state growth.
+
+    Seeds are the graph nodes with part id ≡ 0 (mod 17) — deterministic
+    and non-empty at every test SF. The DuckDB oracle walks the same
+    edges with a bounded recursive CTE in (part, hops)-state space
+    (UNION-dedup keeps it at ≤ |V|·(H+1) states, never path-enumeration)
+    and takes min hops per node; integer distances make the compare an
+    exact hash match.
+
+    Scale design: see :func:`bfs_hops` — frontier-proportional rounds,
+    H fixed at 4 so the oracle and the engine share the horizon. The
+    final left join re-attaches never-reached nodes map-side from the
+    broadcastable node list at test SFs; at 100 TB it's one more shuffle
+    on node id, co-partitioned with the BFS output."""
+    edges = copurchase_edges(spark, sf_dir)
+    ed_nodes = edges.select(F.col("pa").alias("part")).union(
+        edges.select(F.col("pb").alias("part"))
+    ).distinct()
+    seeds = ed_nodes.filter(F.col("part") % 17 == 0)
+    dist = bfs_hops(edges, seeds)
+    return ed_nodes.join(dist, "part", "left").select(
+        "part", F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops")
+    )

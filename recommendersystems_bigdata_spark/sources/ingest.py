@@ -183,3 +183,187 @@ def q_sink_partitioned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "q_io_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a15 — XML sink + source round-trip (Spark 4 native ``xml`` format).
+
+    Serializes ``orders`` (key, status, priority, exact integer cents) to
+    XML with a ``rowTag``, reads it back with an EXPLICIT schema, and
+    aggregates per (status, priority). The aggregate must hash-match the
+    oracle computed on the parquet source, proving the XML writer/parser
+    pair is lossless for longs and strings — the same write→read→aggregate
+    ≡ aggregate contract the CSV/JSON (a4) and ORC/text (a12) round-trips
+    pin for their formats. Money crosses the text format as integer cents
+    (``floor(x*100+0.5)``, exactmath.py): a double serialized as decimal
+    text and re-parsed is NOT guaranteed bit-identical, integers are.
+
+    Scale design: both legs are map-only (row→XML-fragment render, then
+    StAX pull-parse per row); the explicit read schema skips the
+    whole-corpus inference pass that ``spark.read.xml`` would otherwise
+    burn at 100 TB, exactly as a13 does for JSON. XML's cost is
+    per-record framing, not structure — the one shuffle is the final
+    ≤15-key partial-aggregated groupBy."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = scratch_dir("ingest_xml")
+    path = f"{base}/orders_xml"
+    orders.write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, "
+            "o_orderpriority STRING, cents BIGINT"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT CASE WHEN k % 11 = 0 THEN 'insert'
+                WHEN k % 13 = 0 THEN 'delete'
+                WHEN k % 7 = 0 THEN 'update'
+                ELSE 'same' END AS change_type,
+           o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN k % 13 <> 0 AND k % 7 = 0 THEN c + 500
+                         ELSE c END) AS BIGINT) AS cents_effective
+    FROM base
+    WHERE NOT (k % 11 = 0 AND k % 13 = 0)
+    GROUP BY 1, 2
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a16 — CDC changeset between two table snapshots (snapshot diff).
+
+    Materializes two parquet snapshots of ``orders`` under deterministic
+    divergence rules — the "old" snapshot lacks keys ≡0 (mod 11) (these
+    become INSERTS), the "new" snapshot lacks keys ≡0 (mod 13) (DELETES)
+    and reprices keys ≡0 (mod 7) by +500 cents (UPDATES) — then computes
+    the changeset the way a real engine must: a full outer join of the
+    snapshots on the primary key, classifying each row from null-ness and
+    VALUE COMPARISON (update = both present ∧ cents differ), never from
+    the generation rule. The oracle derives the expected (change_type,
+    status) census analytically from the modular rules, so a diff that
+    misclassifies any row — e.g. treats a null-extended column as a
+    change, or loses delete rows to an inner join — hash-mismatches.
+    ``cents_effective`` is the post-change value (deletes carry their
+    last-known value), summed in exact integer cents.
+
+    Scale design: the diff is one shuffle on the primary key for each
+    side (sort-merge full outer); at 100 TB both snapshots would be
+    bucketed by key on write (the l9 layout), making the diff a
+    zero-shuffle zip of co-located buckets. Classification and the
+    effective-value projection are map-side; the final groupBy has ≤12
+    keys and partial-aggregates. This is the incremental-maintenance
+    primitive: its output stream IS the apply-set a5/a7-style upsert
+    sinks consume."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = scratch_dir("snapshot_diff")
+    orders.filter(F.col("k") % 11 != 0).write.mode("overwrite").parquet(
+        f"{base}/snap_old"
+    )
+    orders.filter(F.col("k") % 13 != 0).withColumn(
+        "cents",
+        F.when(F.col("k") % 7 == 0, F.col("cents") + 500).otherwise(F.col("cents")),
+    ).write.mode("overwrite").parquet(f"{base}/snap_new")
+
+    old = spark.read.parquet(f"{base}/snap_old").alias("o")
+    new = spark.read.parquet(f"{base}/snap_new").alias("n")
+    diff = old.join(new, F.col("o.k") == F.col("n.k"), "full_outer").select(
+        F.when(F.col("o.k").isNull(), F.lit("insert"))
+        .when(F.col("n.k").isNull(), F.lit("delete"))
+        .when(F.col("n.cents") != F.col("o.cents"), F.lit("update"))
+        .otherwise(F.lit("same"))
+        .alias("change_type"),
+        F.coalesce(F.col("n.o_orderstatus"), F.col("o.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("n.cents"), F.col("o.cents")).alias("cents_effective"),
+    )
+    return diff.groupBy("change_type", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents_effective").cast("long").alias("cents_effective"),
+    )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 8 AS k_bucket,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a17 — semi-structured ingestion via VARIANT (Spark 4 ``parse_json``).
+
+    Parses the stored JSON payload column ``events.props`` into a VARIANT
+    once, then does TYPED extraction (``try_variant_get`` → BIGINT) and
+    aggregates per (event_type, k mod 8). The oracle recomputes the same
+    census with DuckDB's JSON extraction over the raw strings, so a
+    parse/extract pair that mistypes, nulls, or truncates any payload
+    hash-mismatches. This is the modern counterpart to h9
+    ``q_json_extract`` (string-path ``get_json_object``): same semantics,
+    different execution contract.
+
+    Scale design: VARIANT is the right 100 TB shape for repeated access —
+    the payload is tokenized ONCE into a binary-encoded tree at parse
+    time, and every subsequent field access is an offset walk, where
+    ``get_json_object`` re-tokenizes the JSON text per call site. With
+    the parse in the same projection the whole pipeline is map-side
+    (parse → extract → partial agg) with one ≤40-key shuffle. In a real
+    lake the parse would run at INGEST and the variant column be stored
+    (shredded) in parquet, amortizing it to zero per query; ``try_``
+    extraction quarantines type drift as NULL instead of failing the
+    scan, matching a13's dirty-data discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    got = ev.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
+    )
+    return got.groupBy(
+        "event_type", (F.col("k_val") % 8).alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k_val").cast("long").alias("k_sum"),
+    )
