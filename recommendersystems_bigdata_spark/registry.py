@@ -74,7 +74,12 @@ _TAIL = (f"{_PKG}.ml.curation",)
 # (§2.A a13/a14). They register after every round-5..8 sample window
 # (including round 8's, which _TAIL leads) so no committed presample goes
 # stale; the round-9 order leads with them for driver evidence.
-_TAIL2 = (f"{_PKG}.ml.graph", f"{_PKG}.sources.ingest")
+_TAIL2 = (
+    f"{_PKG}.ml.graph",
+    f"{_PKG}.sources.ingest",
+    f"{_PKG}.ml.privacy",
+    f"{_PKG}.operators.sampling",
+)
 
 
 def _driver_round() -> int:

@@ -583,3 +583,48 @@ def test_star_round_plan_is_two_windows_no_join(spark):
         assert join_op not in plan, plan
     # 2 window exchanges + 1 distinct exchange (+ the distinct's partial agg)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_bottomk_sample_lowered_to_take_ordered(q):
+    """b9: the deterministic bottom-k sample must plan as
+    TakeOrderedAndProject — per-partition top-k + driver merge, NO global
+    sort and NO shuffle. A regression to a full Sort would make the
+    sample cost a corpus-wide exchange at 100 TB."""
+    plan = physical_plan(q("q_sample_bottomk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_split_census_is_one_exchange(q):
+    """b10: the split census is map-side hash+CASE plus one 3-key
+    partial→final aggregate — exactly one shuffle."""
+    plan = physical_plan(q("q_sample_hash_split"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_privacy_audits_partial_aggregate(q):
+    """o1/o2: the release-gate audits must partial-aggregate map-side so
+    shuffle volume is class-count-bound, not row-count-bound."""
+    for key in ("q_kanonymity_audit", "q_ldiversity_audit"):
+        plan = physical_plan(q(key))
+        assert "HashAggregate" in plan, plan
+        for join_op in ("SortMergeJoin", "CartesianProduct",
+                        "BroadcastNestedLoopJoin"):
+            assert join_op not in plan, plan
+
+
+def test_bfs_round_avoids_nested_loop(spark):
+    """n4: every BFS round is equi-join + anti-join on node id — no
+    nested-loop/cartesian operator may appear in a frontier expansion."""
+    from recommendersystems_bigdata_spark.ml.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "pa INT, pb INT"
+    )
+    seeds = spark.createDataFrame([(1,)], "part INT")
+    df = bfs_hops(edges, seeds, max_hops=2)
+    plan = physical_plan(df)
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+    got = {(r["part"], r["hops"]) for r in df.collect()}
+    assert got == {(1, 0), (2, 1), (3, 2)}, got
