@@ -437,11 +437,17 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = _BFS_HOPS) -> D
     — the textbook distributed-BFS shape (each round = one hash join on
     node id + one distinct + one anti join, all shuffling on node id, so
     a fixed partitioning co-locates them round over round). The horizon
-    is FIXED, matching the oracle's recursion bound, so round count is
-    data-independent; an exhausted frontier just makes the remaining
-    rounds empty-input no-ops (AQE collapses them). Per-round
-    ``localCheckpoint`` cuts lineage exactly as pagerank_micros does.
-    Hop distances are integers — the hash compare is exact."""
+    is CAPPED at ``max_hops``, matching the oracle's recursion bound, and
+    the loop breaks as soon as a round's frontier comes back empty: the
+    emptiness probe is one job over the already-checkpointed frontier,
+    where letting the loop run to the horizon would pay the full
+    join+distinct+anti-join round (each round ends in an EAGER
+    ``localCheckpoint``, so an "empty no-op round" still launches real
+    jobs — the round-7 docstring's claim that AQE absorbs them was
+    wrong). Output is unaffected by the early exit — an empty frontier
+    can never reach new nodes — so the oracle compare is identical.
+    Per-round ``localCheckpoint`` cuts lineage exactly as pagerank_micros
+    does. Hop distances are integers — the hash compare is exact."""
     ed = edges.selectExpr("pa AS src", "pb AS dst").union(
         edges.selectExpr("pb AS src", "pa AS dst")
     ).localCheckpoint()
@@ -455,6 +461,8 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = _BFS_HOPS) -> D
             .join(visited, "part", "left_anti")
             .localCheckpoint()
         )
+        if reached.isEmpty():
+            break
         visited = visited.union(
             reached.select("part", F.lit(h).cast("long").alias("hops"))
         ).localCheckpoint()
@@ -508,4 +516,191 @@ def q_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = bfs_hops(edges, seeds)
     return ed_nodes.join(dist, "part", "left").select(
         "part", F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops")
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def kcore_peel(edges: DataFrame, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """Bounded k-core peel over an undirected ``(pa, pb)`` edge list:
+    ``rounds`` synchronous peel steps, each dropping every node whose
+    degree in the CURRENT subgraph is < k and every edge touching one;
+    returns ``(part, core_degree)`` for the surviving subgraph's nodes
+    with their within-subgraph degree.
+
+    The horizon is FIXED (matching the oracle's unrolled CTE chain), with
+    the BFS-style early exit: if a round drops no node the subgraph is
+    already stable, every remaining round is the identity, and the
+    output equals the full-horizon output — so breaking early never
+    changes the result, it only skips the per-round job overhead an
+    eager ``localCheckpoint`` would still pay (see :func:`bfs_hops`).
+
+    Scale design: each round is one degree groupBy + two semi-joins
+    (edge endpoints against the kept-node set), all shuffling on node
+    id, so a fixed partitioning co-locates round over round;
+    ``localCheckpoint`` cuts lineage per round. The dropped-node probe
+    is one count on the ≤|V|-row degree frame. Peel-to-fixpoint is the
+    same loop with the horizon removed; the fixed horizon keeps the
+    operator's output oracle-checkable as plain unrolled SQL, exactly
+    the n1/n4 discipline."""
+    e = edges.select("pa", "pb").localCheckpoint()
+    for _ in range(rounds):
+        ed = e.selectExpr("pa AS src", "pb AS dst").union(
+            e.selectExpr("pb AS src", "pa AS dst")
+        )
+        deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("part"))
+        kept = kept.localCheckpoint()
+        n_before = deg.count()
+        n_after = kept.count()
+        e = (
+            e.join(kept.withColumnRenamed("part", "pa"), "pa", "left_semi")
+            .join(kept.withColumnRenamed("part", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+        if n_after == n_before:
+            break
+    ed = e.selectExpr("pa AS src", "pb AS dst").union(
+        e.selectExpr("pb AS src", "pa AS dst")
+    )
+    return ed.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+@query(
+    "q_graph_kcore",
+    oracle=_EDGE_CTES
+    + """,
+    k1 AS (SELECT src AS part FROM od WHERE od >= 2),
+    e1 AS (SELECT e.pa, e.pb FROM e
+           JOIN k1 a ON e.pa = a.part JOIN k1 b ON e.pb = b.part),
+    ed1 AS (SELECT pa AS src, pb AS dst FROM e1
+            UNION ALL SELECT pb, pa FROM e1),
+    d1 AS (SELECT src, count(*) AS d FROM ed1 GROUP BY 1),
+    k2 AS (SELECT src AS part FROM d1 WHERE d >= 2),
+    e2 AS (SELECT e1.pa, e1.pb FROM e1
+           JOIN k2 a ON e1.pa = a.part JOIN k2 b ON e1.pb = b.part),
+    ed2 AS (SELECT pa AS src, pb AS dst FROM e2
+            UNION ALL SELECT pb, pa FROM e2),
+    d2 AS (SELECT src, count(*) AS d FROM ed2 GROUP BY 1),
+    k3 AS (SELECT src AS part FROM d2 WHERE d >= 2),
+    e3 AS (SELECT e2.pa, e2.pb FROM e2
+           JOIN k3 a ON e2.pa = a.part JOIN k3 b ON e2.pb = b.part),
+    ed3 AS (SELECT pa AS src, pb AS dst FROM e3
+            UNION ALL SELECT pb, pa FROM e3)
+    SELECT src AS part, count(*) AS core_degree
+    FROM ed3
+    GROUP BY 1
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n6 — bounded 2-core peel of the co-purchase graph: three
+    synchronous rounds of "drop every node with fewer than 2 surviving
+    co-purchase partners", reporting the surviving nodes with their
+    within-core degree. The density filter that strips pendant/fringe
+    items before community detection or graph-partitioned serving — the
+    co-purchase analogue of trimming leaf pages before PageRank — and
+    §2.N's fourth iterative archetype: state-SHRINKING peel, next to the
+    fixed numeric loop (n1), fixpoint contraction (n3), and growing
+    frontier (n4). Degrees and survivals are integers, so the hash
+    compare is exact; the DuckDB oracle unrolls the same three peels as
+    a CTE chain.
+
+    Scale design: see :func:`kcore_peel` — per-round cost is one degree
+    aggregation plus two node-id semi-joins over the SHRINKING edge set
+    (monotone: never regrows), with the early exit once stable."""
+    return kcore_peel(copurchase_edges(spark, sf_dir))
+
+
+_CN_MIN_COMMON = 2
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle=_EDGE_CTES
+    + f""",
+    wedges AS (
+      SELECT x.dst AS a, y.dst AS b, count(*) AS common_cnt
+      FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.a, w.b, w.common_cnt FROM wedges w
+      WHERE w.common_cnt >= {_CN_MIN_COMMON}
+        AND NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.b)
+    )
+    SELECT c.a AS part_a, c.b AS part_b, c.common_cnt,
+           da.od AS degree_a, db.od AS degree_b,
+           CAST((10000 * c.common_cnt) // (da.od + db.od - c.common_cnt)
+                AS BIGINT) AS jaccard_bp
+    FROM cand c JOIN od da ON da.src = c.a JOIN od db ON db.src = c.b
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n5 — common-neighbor link prediction over the co-purchase graph:
+    every UNLINKED part pair sharing ≥ 2 common neighbors, with the pair's
+    common count, both degrees, and the neighbor-set Jaccard in integer
+    basis points (common div (deg_a + deg_b − common)). This is the
+    classic "people who bought X and Y also bought…" edge-completion
+    signal: high-Jaccard unlinked pairs are the recommendations a
+    co-occurrence recommender is about to learn, and the same wedge
+    census is the input to triangle-dense community seeding.
+
+    Determinism: counts, degrees, and the Jaccard cross-multiply are all
+    integers (truncating div on non-negative operands matches DuckDB
+    ``//``), so the hash compare is exact.
+
+    Scale design: the wedge self-join groups the directed edge list on
+    the SHARED MIDDLE node — per-middle work is deg², so the operator's
+    100 TB cost is Σ deg(v)², the same skew profile q_graph_triangles
+    (k20) carries; the standard mitigation (cap or sample neighbors of
+    super-hub middles above a degree bound, biasing pair counts only for
+    pairs that already have ≫ threshold support) drops in as one filter
+    on the degree-annotated edge frame, and n2's degree histogram is the
+    pre-flight that decides whether it's needed. The unlinked-only
+    restriction is a LEFT ANTI join against the (pa < pb) canonical edge
+    set — same key shuffle the wedge groupBy already established; degree
+    re-attachment is two joins against the ≤|V|-row degree frame. Output
+    is support-thresholded (≥ 2 common) so the emitted pair set stays
+    sparse."""
+    edges = copurchase_edges(spark, sf_dir)
+    ed = edges.selectExpr("pa AS src", "pb AS dst").union(
+        edges.selectExpr("pb AS src", "pa AS dst")
+    ).localCheckpoint()
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    x, y = ed.alias("x"), ed.alias("y")
+    wedges = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+        .filter(F.col("common_cnt") >= _CN_MIN_COMMON)
+    )
+    unlinked = wedges.join(
+        edges,
+        (wedges["a"] == edges["pa"]) & (wedges["b"] == edges["pb"]),
+        "left_anti",
+    )
+    da = deg.selectExpr("src AS a", "od AS degree_a")
+    db = deg.selectExpr("src AS b", "od AS degree_b")
+    return (
+        unlinked.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common_cnt",
+            "degree_a",
+            "degree_b",
+            F.expr(
+                "CAST((10000 * common_cnt) div (degree_a + degree_b - common_cnt)"
+                " AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
     )

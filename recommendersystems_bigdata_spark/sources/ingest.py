@@ -367,3 +367,178 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k_val").cast("long").alias("k_sum"),
     )
+
+
+@query(
+    "q_merge_into",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(sum(CASE WHEN k % 11 <> 0 AND k % 13 <> 0 AND k % 7 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN k % 11 <> 0 AND k % 13 <> 0 AND k % 7 = 0
+                         THEN c + 500 ELSE c END) AS BIGINT) AS total_cents
+    FROM base
+    WHERE NOT (k % 11 <> 0 AND k % 13 = 0)
+    GROUP BY 1
+    """,
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a18 — three-action MERGE INTO apply (the executable counterpart of
+    a16's changeset DERIVATION: a16 diffs two snapshots into a change
+    feed, a18 applies a change feed onto a base snapshot).
+
+    The base table is ``orders`` minus keys ≡0 (mod 11); the change feed
+    carries one action per affected key with I > D > U precedence —
+    INSERT the missing mod-11 keys, DELETE keys ≡0 (mod 13), UPDATE keys
+    ≡0 (mod 7) to cents+500. The apply is engine-real: a full outer join
+    of base and changes on the primary key, with the merged row decided
+    by matched/unmatched status × action (matched+U → new value,
+    matched+D → drop, unmatched change+I → insert, base-only → keep) —
+    never by re-deriving the modular rule. The oracle computes the
+    post-merge census (per-status rows, inserted/updated action counts,
+    exact integer cents mass) analytically from the source, so an apply
+    that drops unmatched inserts to an inner join, double-applies an
+    update, or resurrects deletes hash-mismatches.
+
+    Scale design: one shuffle on the primary key per side (sort-merge
+    full outer); in a real lake the base is bucketed by key on write
+    (the l9 layout) and the daily change feed is ≪ the base, so the
+    apply degenerates to a broadcast-side merge per bucket with zero
+    base shuffle. Action decode and value selection are map-side; the
+    census groupBy has ≤3 keys and partial-aggregates. Precedence is
+    resolved when the feed is BUILT (one row per key), which is the
+    CDC-compaction contract every MERGE engine assumes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = orders.filter(F.col("k") % 11 != 0)
+    changes = (
+        orders.withColumn(
+            "action",
+            F.when(F.col("k") % 11 == 0, "I")
+            .when(F.col("k") % 13 == 0, "D")
+            .when(F.col("k") % 7 == 0, "U"),
+        )
+        .filter(F.col("action").isNotNull())
+        .select(
+            F.col("k").alias("ck"),
+            F.col("o_orderstatus").alias("c_status"),
+            "action",
+            F.when(F.col("action") == "U", F.col("cents") + 500)
+            .otherwise(F.col("cents"))
+            .alias("new_cents"),
+        )
+    )
+    merged = (
+        base.join(changes, base["k"] == changes["ck"], "full_outer")
+        # D rows drop whether matched (delete) or unmatched (tombstone for
+        # an absent key produces nothing); base-only rows have NULL action,
+        # so the filter must be null-safe — `action != 'D'` alone is
+        # three-valued NULL there and would silently drop every kept row
+        .filter(F.col("action").isNull() | (F.col("action") != "D"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.col("c_status")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("action").isin("I", "U"), F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents_out"),
+            F.col("action"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("action") == "I", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(F.when(F.col("action") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum("cents_out").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*)
+                AS BIGINT) AS avg_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a19 — incremental aggregate maintenance via mergeable partial
+    states (the materialized-view-refresh primitive).
+
+    Splits ``orders`` into a "yesterday" snapshot (keys with k mod 5 ≠ 0)
+    and a "today" delta (k mod 5 = 0), computes the per-priority
+    aggregate STATE — (count, exact cents sum, min key, max key), each a
+    commutative monoid — on each side independently, then MERGES the two
+    state tables (sum+sum, min+min, max+max) and derives the final
+    metrics (including avg as a truncating integer division of merged
+    sums) from the merged state only. The oracle aggregates the full
+    table directly, so the check pins the algebraic contract
+    merge(state(A), state(B)) = state(A ∪ B): a non-mergeable spelling
+    (e.g. averaging the two sides' averages) hash-mismatches
+    immediately.
+
+    Scale design: this is THE pattern that makes a 100 TB nightly
+    rollup affordable — the historical partition's state is computed
+    once and stored (rows = groups, not facts), and each refresh
+    aggregates only the delta and merges, so daily cost is
+    O(delta + groups) instead of O(corpus). Both legs partial-aggregate
+    map-side; the merge groupBy runs over 2×groups rows. Every state
+    component here is a true monoid; the repo's sketch aggregates
+    (d3 HLL, d20 KLL) extend the same merge contract to
+    distinct-count/quantile states."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("k").alias("mn"),
+            F.max("k").alias("mx"),
+        )
+
+    snapshot = state(orders.filter(F.col("k") % 5 != 0))
+    delta = state(orders.filter(F.col("k") % 5 == 0))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("long").alias("total_cents"),
+            F.min("mn").alias("min_key"),
+            F.max("mx").alias("max_key"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_cents",
+        "min_key",
+        "max_key",
+        F.expr("CAST(total_cents div n_orders AS BIGINT)").alias("avg_cents"),
+    )

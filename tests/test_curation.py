@@ -249,15 +249,18 @@ _M_KEYS = (
     "q_curate_weighted_sample",  # m11
 )
 
-_BASELINES: dict[str, object] = {}
+# keyed on (key, sf_dir) so a future second scale factor or parametrized
+# fixture can never compare an example against a baseline from another corpus
+_BASELINES: dict[tuple[str, str], object] = {}
 
 
 def _baseline(key, spark, sf_dir):
-    if key not in _BASELINES:
-        _BASELINES[key] = canonicalize(
+    cache_key = (key, sf_dir)
+    if cache_key not in _BASELINES:
+        _BASELINES[cache_key] = canonicalize(
             registry.QUERIES[key](spark, sf_dir).toPandas()
         )
-    return _BASELINES[key]
+    return _BASELINES[cache_key]
 
 
 @settings(

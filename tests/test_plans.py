@@ -438,6 +438,7 @@ _BNLJ_ALLOWED = {
     "q_embedding_outliers", "q_embedding_truncation", "q_kfold_split",
     "q_text_lm_score", "q_repeat_purchase_rate", "q_skew_report",
     "q_graph_degree_distribution",  # 1-row node-count total vs ≤64 buckets
+    "q_tcloseness_audit",  # 1-row corpus-total broadcast vs classes×bands
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
     "q_subquery_in",      # acctbal ≥ scalar threshold row
@@ -628,3 +629,87 @@ def test_bfs_round_avoids_nested_loop(spark):
         assert join_op not in plan, plan
     got = {(r["part"], r["hops"]) for r in df.collect()}
     assert got == {(1, 0), (2, 1), (3, 2)}, got
+
+
+def test_xml_roundtrip_reads_with_explicit_schema(q):
+    """a15: the XML read-back must use the user-supplied schema — the scan
+    node carries exactly the four declared typed columns (an inference
+    pass would both double the 100 TB scan and type `cents` per-file).
+    The write leg runs inside the query; the assertion reads the final
+    plan's FileScan xml line."""
+    df = q("q_io_xml_roundtrip")
+    plan = full_explain(df)
+    assert "FileScan xml" in plan, plan
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan xml" in ln]
+    assert any("cents" in ln and "bigint" in ln for ln in scan_lines), plan
+
+
+def test_snapshot_diff_is_single_full_outer_merge_join(q):
+    """a16: the CDC diff must stay ONE full-outer sort-merge join on the
+    primary key — a plan that degrades to a nested-loop (non-equi
+    condition) or duplicates the join would not survive two 100 TB
+    snapshots."""
+    plan = physical_plan(q("q_snapshot_diff"))
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+
+
+def test_variant_extract_is_map_side_single_exchange(q):
+    """a17: parse_json + typed variant_get + partial agg must plan as one
+    map-side pipeline with exactly one shuffle (the ≤40-key final agg)."""
+    plan = physical_plan(q("q_variant_extract"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "variant_get" in plan.lower(), plan
+
+
+def test_merge_into_is_single_key_equi_join(q):
+    """a18: the MERGE apply is one full-outer equi join on the primary
+    key — no nested-loop operator, and exactly one join of any kind."""
+    plan = physical_plan(q("q_merge_into"))
+    assert "FullOuter" in plan, plan
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+
+
+def test_incremental_agg_is_join_free_partial_final(q):
+    """a19: state build + merge is groupBy-only — partial→final aggregates
+    on both legs and NO join anywhere (the merge is a union + groupBy)."""
+    plan = physical_plan(q("q_incremental_agg"))
+    assert "HashAggregate" in plan, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+
+
+def test_new_privacy_audits_avoid_row_joins(q):
+    """o3: the recursive (c,l) audit is groupBy + bounded window + groupBy,
+    join-free; o4's only non-equi operator is the documented 1-row
+    broadcast total (global band distribution + corpus size)."""
+    plan3 = physical_plan(q("q_cl_diversity_audit"))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan3, plan3
+    assert "Window" in plan3, plan3
+    plan4 = physical_plan(q("q_tcloseness_audit"))
+    assert "SortMergeJoin" not in plan4, plan4
+    assert "CartesianProduct" not in plan4, plan4
+
+
+def test_common_neighbors_wedge_join_is_equi(q):
+    """n5: the wedge self-join keys on the shared middle node (equi) with
+    the dst ordering as a residual condition — never a nested loop; the
+    unlinked restriction stays a LEFT ANTI equi join."""
+    plan = physical_plan(q("q_graph_common_neighbors"))
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_kcore_rounds_are_semi_joins(q):
+    """n6: every peel round is a degree groupBy + two node-id LEFT SEMI
+    joins — no nested-loop operator, no full outer anywhere."""
+    plan = physical_plan(q("q_graph_kcore"))
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan

@@ -599,3 +599,57 @@ def test_random_asof_matches_duckdb(spark, sf_dir, duck_events, spec):
     """
     res = compare_frames("asof-property", spark_pdf, duck_events.execute(sql).df())
     assert res.ok, f"{spec}: {res.message()}"
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine floor-division fuzz (§2.O banding, round 8). The privacy
+# audits band possibly-negative integer cents with `_floor_div_sql`, whose
+# correctness claim is "truncating div + mod-normalization == true floor
+# division, identically on Spark `div` and DuckDB `//`". This pins that
+# claim against Python's floor division over adversarial integers
+# (negatives, band boundaries, ±1 offsets) in one batched job per engine.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(20), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-10**12, 10**12),
+            # boundary cluster: exact multiples of the band width and ±1
+            st.integers(-50, 50).map(lambda k: k * 100_000),
+            st.integers(-50, 50).map(lambda k: k * 100_000 + 1),
+            st.integers(-50, 50).map(lambda k: k * 100_000 - 1),
+        ),
+        min_size=1, max_size=200,
+    ),
+    d=st.sampled_from([3, 7, 1000, 100_000]),
+)
+def test_floor_div_sql_matches_python_floor(spark, vals, d):
+    from recommendersystems_bigdata_spark.ml.privacy import _floor_div_sql
+
+    expect = {v: v // d for v in set(vals)}
+    sdf = spark.createDataFrame([(v,) for v in expect], "v BIGINT").select(
+        "v", F.expr(_floor_div_sql("v", d, "div")).alias("fd")
+    )
+    got_spark = {r["v"]: r["fd"] for r in sdf.collect()}
+    assert got_spark == expect, (d, {
+        v: (got_spark[v], expect[v]) for v in expect if got_spark[v] != expect[v]
+    })
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in expect])
+        got_duck = dict(
+            con.execute(
+                f"SELECT v, {_floor_div_sql('v', d, '//')} FROM t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got_duck == expect, (d, {
+        v: (got_duck[v], expect[v]) for v in expect if got_duck[v] != expect[v]
+    })
