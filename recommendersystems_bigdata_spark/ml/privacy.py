@@ -37,7 +37,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from recommendersystems_bigdata_spark.catalog import load_table
+from recommendersystems_bigdata_spark.catalog import load_table, register_views
 from recommendersystems_bigdata_spark.registry import query
 
 _K_THRESHOLD = 5
@@ -355,3 +355,70 @@ def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows except the first map-side combine. The QI tuple is a parameter
     of :func:`tcloseness_report`."""
     return tcloseness_report(_with_band(load_table(spark, sf_dir, "customer")), _QI)
+
+
+# The generalization lattice the o5 audit sweeps: the canonical QI pair at
+# three nested granularities. GROUPING() masks are spelled per-engine but
+# the bit order (the column list below) is identical, so the CASE decode
+# matches bit-for-bit.
+_GEN_SQL = f"""
+    WITH joined AS (
+      SELECT c.c_nationkey, n.n_regionkey, c.c_mktsegment
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    cls AS (
+      SELECT CASE GROUPING(c_nationkey) * 4 + GROUPING(n_regionkey) * 2
+                  + GROUPING(c_mktsegment)
+               WHEN 0 THEN 'L0_nation_segment'
+               WHEN 4 THEN 'L1_region_segment'
+               WHEN 6 THEN 'L2_segment'
+             END AS level,
+             count(*) AS class_size
+      FROM joined
+      GROUP BY GROUPING SETS (
+        (c_nationkey, n_regionkey, c_mktsegment),
+        (n_regionkey, c_mktsegment),
+        (c_mktsegment)
+      )
+    )
+    SELECT level,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN class_size < {_K_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_risky_classes,
+           CAST(coalesce(sum(CASE WHEN class_size < {_K_THRESHOLD}
+                                  THEN class_size END), 0) AS BIGINT)
+               AS n_suppressed_rows,
+           CAST(min(class_size) AS BIGINT) AS min_class_size
+    FROM cls
+    GROUP BY level
+"""
+
+
+@query("q_qi_generalization_audit", oracle=_GEN_SQL)
+def q_qi_generalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o5 — generalization-lattice k-anonymity sweep (k = 5).
+
+    When o1 flags risky classes, the remediation question is "how far up
+    the generalization hierarchy must the quasi-identifier climb before
+    every class clears k — and what does each rung cost in suppression?".
+    This audit answers it in one pass: the QI pair at three nested
+    granularities — (nation, segment) → (region, segment) → (segment) —
+    each reported with its class count, risky-class count, rows a
+    suppress-the-risky-classes release would drop, and the minimum class
+    size (the k the level actually achieves). The release gate picks the
+    FIRST level whose n_risky_classes is 0; the n_suppressed_rows column
+    is the price of stopping a level earlier. All quantities are integer
+    counts — exact hash match.
+
+    Scale design: the nation→region generalization joins a 25-row
+    broadcast dim; the lattice is ONE GROUPING SETS aggregation (Spark
+    expands to a single Expand + partial/final aggregate — one shuffle
+    whose volume is bounded by Σ per-level class counts, ≤155 here, per
+    map task), then a 3-key census over the class table. Adding a rung
+    (e.g. banded acctbal in the QI) is one more grouping set in the same
+    single pass — the lattice sweep never rescans the corpus per level,
+    which is what makes a release-gate retry loop affordable at 100 TB.
+    GROUPING() bit order is pinned by the shared column list, so the
+    level decode is engine-portable."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GEN_SQL)

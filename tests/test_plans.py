@@ -713,3 +713,15 @@ def test_kcore_rounds_are_semi_joins(q):
     plan = physical_plan(q("q_graph_kcore"))
     for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, plan
+
+
+def test_generalization_audit_is_one_expand_pass(q):
+    """o5: the lattice sweep must be ONE grouping-sets aggregation (a
+    single Expand feeding partial/final aggregates) over a broadcast
+    nation dim — never one scan per level and never a shuffled dim
+    join."""
+    plan = physical_plan(q("q_qi_generalization_audit"))
+    assert plan.count("Expand") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for join_op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
