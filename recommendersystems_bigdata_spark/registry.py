@@ -79,6 +79,7 @@ _TAIL2 = (
     f"{_PKG}.sources.ingest",
     f"{_PKG}.ml.privacy",
     f"{_PKG}.operators.sampling",
+    f"{_PKG}.ml.matching",
 )
 
 

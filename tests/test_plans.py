@@ -725,3 +725,20 @@ def test_generalization_audit_is_one_expand_pass(q):
     assert "BroadcastHashJoin" in plan, plan
     for join_op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, plan
+
+
+def test_fuzzy_join_is_blocked_not_nested(q):
+    """p1: candidates must come from the deletion-key equi-join — a
+    BroadcastNestedLoopJoin here IS the brute-force distance matrix the
+    operator exists to avoid."""
+    plan = physical_plan(q("q_fuzzy_join_symspell"))
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
+
+
+def test_containment_uses_posting_list_join(q):
+    """p2: the lang-blocked posting-list self-join — never a cartesian
+    pair enumeration."""
+    plan = physical_plan(q("q_dedup_containment"))
+    for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, plan
