@@ -80,6 +80,7 @@ _TAIL2 = (
     f"{_PKG}.ml.privacy",
     f"{_PKG}.operators.sampling",
     f"{_PKG}.ml.matching",
+    f"{_PKG}.operators.tpch_extra",
 )
 
 

@@ -742,3 +742,45 @@ def test_containment_uses_posting_list_join(q):
     plan = physical_plan(q("q_dedup_containment"))
     for join_op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, plan
+
+
+def test_tpch_q6_is_pushed_scan_single_agg(q):
+    """c19: Q6 is the pure scan probe — the date/quantity predicates must
+    reach the parquet scan and the only exchange is the partial→final
+    aggregate's 1-row-per-task merge. A join or extra shuffle here means
+    the scan path regressed."""
+    plan = full_explain(q("q_tpch_q6_forecast"))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    phys = physical_plan(q("q_tpch_q6_forecast"))
+    assert "Join" not in phys, phys
+    assert phys.count("HashAggregate") >= 2, phys
+
+
+def test_tpch_q14_fact_never_shuffles_before_agg(q):
+    """c24: part broadcasts whole (the per-partkey type lookup), so the
+    lineitem fact's ONLY exchange is the year-keyed aggregate merge — no
+    sort-merge join, no nested loop."""
+    phys = physical_plan(q("q_tpch_q14_promo_share"))
+    assert "BroadcastHashJoin" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_tpch_q15_has_no_global_sort_or_window(q):
+    """c25: the ties-at-max filter must be the broadcast 1-row max join —
+    never a global Sort + Window over a single partition (the classic
+    accidental scale-killer for "equal to max" queries)."""
+    phys = physical_plan(q("q_tpch_q15_top_supplier"))
+    assert "Window" not in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_tpch_q17_correlated_avg_is_broadcast_joins(q):
+    """c26: the per-part average joins back as a broadcast hash join on
+    the part key (both joins), and the integer cross-multiplied compare
+    keeps everything join-key equi — no nested loop anywhere."""
+    phys = physical_plan(q("q_tpch_q17_small_qty"))
+    assert phys.count("BroadcastHashJoin") >= 2, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys

@@ -653,3 +653,74 @@ def test_floor_div_sql_matches_python_floor(spark, vals, d):
     assert got_duck == expect, (d, {
         v: (got_duck[v], expect[v]) for v in expect if got_duck[v] != expect[v]
     })
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine basis-points share fuzz (§2.C c21/c24, round 8). The TPC-H
+# Q8/Q14 shares are `(sum(conditional_e4) * 10000) div sum(total_e4)` —
+# truncating integer division on exact integer sums, the spelling that is
+# identical on Spark `div` and DuckDB `//` for non-negative operands. A
+# rounded float quotient here diverges between engines on ties (the
+# round-4 adjudication in SCALE.md); this spec pins the integer spelling
+# against Python's `//` over adversarial revenue sets, including groups
+# engineered to land exactly ON a bps boundary and ±1 off it.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(20), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                     # group key
+            st.booleans(),                          # promo flag
+            st.one_of(
+                st.integers(1, 10**9),              # generic positive e4 revenue
+                # tie cluster: make per-row values multiples of 10000 so a
+                # group's numerator*10000/denominator can land exactly on
+                # an integer bps boundary (where HALF_UP and truncation
+                # disagree and only the truncating spelling is portable)
+                st.integers(1, 10**5).map(lambda k: k * 10_000),
+            ),
+        ),
+        min_size=1, max_size=200,
+    ),
+)
+def test_bps_share_truncating_div_matches_python(spark, rows):
+    expect = {}
+    for g in {r[0] for r in rows}:
+        num = sum(v for gg, p, v in rows if gg == g and p)
+        den = sum(v for gg, _p, v in rows if gg == g)
+        expect[g] = (num * 10000) // den
+    sdf = spark.createDataFrame(rows, "g INT, promo BOOLEAN, rev_e4 BIGINT")
+    got_spark = {
+        r["g"]: r["bps"]
+        for r in sdf.groupBy("g")
+        .agg(
+            F.expr(
+                "CAST((sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) * 10000)"
+                " div sum(rev_e4) AS BIGINT)"
+            ).alias("bps")
+        )
+        .collect()
+    }
+    assert got_spark == expect, {
+        g: (got_spark[g], expect[g]) for g in expect if got_spark[g] != expect[g]
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (g INT, promo BOOLEAN, rev_e4 BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        got_duck = dict(
+            con.execute(
+                "SELECT g, CAST((sum(CASE WHEN promo THEN rev_e4 ELSE 0 END)"
+                " * 10000) // sum(rev_e4) AS BIGINT) FROM t GROUP BY g"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got_duck == expect, {
+        g: (got_duck[g], expect[g]) for g in expect if got_duck[g] != expect[g]
+    }
