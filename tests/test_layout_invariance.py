@@ -24,6 +24,14 @@ HARDENED = (
     "q_agg_conditional",
     "q_join_star_multiway",
     "q_tpch_q5_local_volume",
+    # round-8 TPC-H extension: integer-bps shares (a float quotient here
+    # would be the layout lottery), the exact-e4 ties-at-max compare, and
+    # the cross-multiplied correlated-avg filter
+    "q_tpch_q6_forecast",
+    "q_tpch_q8_market_share",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_qty",
 )
 
 
