@@ -81,6 +81,7 @@ _TAIL2 = (
     f"{_PKG}.operators.sampling",
     f"{_PKG}.ml.matching",
     f"{_PKG}.operators.tpch_extra",
+    f"{_PKG}.operators.timeseries",
 )
 
 

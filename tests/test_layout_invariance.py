@@ -32,6 +32,13 @@ HARDENED = (
     "q_tpch_q14_promo_share",
     "q_tpch_q15_top_supplier",
     "q_tpch_q17_small_qty",
+    # round-8 time-series suite: integer-exact EWMA / time-weighted
+    # average / multi-resolution rollup — the e2/e4 integer sums and
+    # truncating divides must be bit-identical on any scan split
+    "q_rollup_multires",
+    "q_ewma_binary_decay",
+    "q_time_weighted_avg",
+    "q_downsample_m4",
 )
 
 

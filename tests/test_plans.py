@@ -784,3 +784,44 @@ def test_tpch_q17_correlated_avg_is_broadcast_joins(q):
     assert phys.count("BroadcastHashJoin") >= 2, phys
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys, phys
+
+
+def test_rollup_multires_is_expand_plus_one_exchange(q):
+    """§2.Q q1: all three rollup resolutions must come out of ONE
+    grouping-sets pass — an Expand feeding a partial aggregate before a
+    single exchange. A regression to three scans (or an un-partial'd
+    Expand shuffling 3x the corpus) triples the 100 TB refresh cost."""
+    phys = physical_plan(q("q_rollup_multires"))
+    assert "Expand" in phys, phys
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("HashAggregate") >= 2, phys  # partial -> final
+
+
+def test_ewma_lags_share_one_window_sort(q):
+    """§2.Q q2: the three lags must share one window (one exchange, one
+    sort) — per-lag windows would re-sort the stream three times."""
+    phys = physical_plan(q("q_ewma_binary_decay"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Window") == 1, phys
+
+
+def test_time_weighted_avg_reuses_user_partitioning(q):
+    """§2.Q q4: the lead() window and the per-user aggregate hash on the
+    same key, so the whole step-integral is ONE exchange with the
+    aggregate split partial->final after the window."""
+    phys = physical_plan(q("q_time_weighted_avg"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("HashAggregate") >= 2, phys
+
+
+def test_downsample_m4_is_one_exchange(q):
+    """§2.Q q5: both row_number directions and the final (user, bucket)
+    aggregate share one hash partitioning — the bucket is materialized
+    before the windows precisely so Catalyst can unify the three
+    (partitioning over the raw date_trunc expression measured as a
+    second full exchange of the corpus)."""
+    phys = physical_plan(q("q_downsample_m4"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Window") == 2, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys

@@ -724,3 +724,99 @@ def test_bps_share_truncating_div_matches_python(spark, rows):
     assert got_duck == expect, {
         g: (got_duck[g], expect[g]) for g in expect if got_duck[g] != expect[g]
     }
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted-average kernel fuzz (§2.Q q4, round 8). The step-integral
+# is `sum(v_e2 * dt_us) div sum(dt_us)` per user over (ts, event_id)-ordered
+# segments — exact int64 products with one truncating divide. This spec
+# pins the full composition (epoch-microsecond deltas via lead(), open-
+# segment exclusion, truncating div) against a Python reference on random
+# event series in BOTH engines, including duplicate-timestamp series where
+# only the (ts, event_id) tiebreak keeps the segment order defined.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 10**9),        # ts offset in µs (duplicates allowed)
+            st.integers(0, 40000),        # v_e2 (2-dp value in cents)
+        ),
+        min_size=2, max_size=120,
+    ),
+)
+def test_time_weighted_avg_matches_python(spark, rows):
+    events = [
+        (u, ts_us, v, eid) for eid, (u, ts_us, v) in enumerate(rows)
+    ]
+    expect = {}
+    for u in {e[0] for e in events}:
+        seq = sorted((e for e in events if e[0] == u), key=lambda e: (e[1], e[3]))
+        segs = [
+            (seq[i][2], seq[i + 1][1] - seq[i][1])
+            for i in range(len(seq) - 1)
+            if seq[i + 1][1] - seq[i][1] > 0  # zero-duration: no weight
+        ]
+        den = sum(dt for _v, dt in segs)
+        if not segs:
+            # user's whole stream shares one timestamp → no weighted
+            # segments → no output row (this very case used to reach the
+            # divide with den=0, where Spark's ANSI div throws and DuckDB
+            # NULLs — the operator now excludes dt_us <= 0)
+            continue
+        num = sum(v * dt for v, dt in segs)
+        expect[u] = (len(segs), den, num // den)
+    if not expect:
+        return
+    sdf = spark.createDataFrame(
+        events, "u INT, ts_us BIGINT, v_e2 BIGINT, eid INT"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("u").orderBy("ts_us", "eid")
+    got_df = (
+        sdf.select(
+            "u", "v_e2", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us")
+        )
+        .filter(F.col("dt_us") > 0)
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dt_us").alias("den"),
+            F.expr("sum(v_e2 * dt_us) div sum(dt_us)").alias("twa"),
+        )
+    )
+    got_spark = {
+        r["u"]: (r["n"], r["den"], r["twa"]) for r in got_df.collect()
+    }
+    assert got_spark == expect, {"spark": got_spark, "python": expect}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE ev (u INT, ts_us BIGINT, v_e2 BIGINT, eid INT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", events)
+        got_duck = {
+            u: (n, den, twa)
+            for u, n, den, twa in con.execute(
+                """
+                SELECT u, count(*), CAST(sum(dt_us) AS BIGINT),
+                       CAST(sum(v_e2 * dt_us) // sum(dt_us) AS BIGINT)
+                FROM (
+                  SELECT u, v_e2,
+                         lead(ts_us) OVER (PARTITION BY u ORDER BY ts_us, eid)
+                         - ts_us AS dt_us
+                  FROM ev
+                )
+                WHERE dt_us > 0
+                GROUP BY u
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got_duck == expect, {"duck": got_duck, "python": expect}
