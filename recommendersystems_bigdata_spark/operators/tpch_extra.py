@@ -4,9 +4,10 @@ The corpus ships the classic 8-table TPC-H subset minus ``partsupp`` and
 minus the comment/shipmode/commitdate columns, so of the 22 canonical
 queries the four already registered (Q3/Q5/Q10/Q18) left eight more that
 are expressible verbatim-or-near-verbatim on the available columns:
-Q6, Q7, Q8, Q9 (lite — no supplycost), Q13, Q14, Q15, Q17. Queries that
-NEED the missing columns (Q2/Q4/Q11/Q12/Q16/Q19/Q20/Q21/Q22) are
-deliberately absent rather than faked.
+Q6, Q7, Q8, Q9 (lite — no supplycost), Q13, Q14, Q15, Q17. The nine
+that NEED the missing columns (Q2/Q4/Q11/Q12/Q16/Q19/Q20/Q21/Q22) are
+not faked here — their canonical query SHAPES live in ``tpch_adapt.py``
+(§2.C c27–c35) with every column substitution stated explicitly.
 
 Numeric discipline (see ``functions/exactmath.py`` and SCALE.md "Deep
 randomized fuzz sweeps"): every revenue is the exact integer-e4

@@ -82,6 +82,7 @@ _TAIL2 = (
     f"{_PKG}.ml.matching",
     f"{_PKG}.operators.tpch_extra",
     f"{_PKG}.operators.timeseries",
+    f"{_PKG}.operators.tpch_adapt",
 )
 
 

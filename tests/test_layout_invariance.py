@@ -39,6 +39,14 @@ HARDENED = (
     "q_ewma_binary_decay",
     "q_time_weighted_avg",
     "q_downsample_m4",
+    # round-8 TPC-H adaptation suite: the exact-e2 min-equality tie set
+    # (c27), the cross-multiplied integer thresholds (c29/c33/c35), and
+    # the e4 revenue with integer half-up rounding (c32)
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q11_important_value",
+    "q_tpch_q19_disjunctive_rev",
+    "q_tpch_q20_concentrated_suppliers",
+    "q_tpch_q22_idle_customers",
 )
 
 

@@ -442,6 +442,8 @@ _BNLJ_ALLOWED = {
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
     "q_subquery_in",      # acctbal ≥ scalar threshold row
+    "q_tpch_q11_important_value",  # 1-row bloc-total broadcast vs per-part sums
+    "q_tpch_q22_idle_customers",   # 1-row (n_pos, sum_pos) threshold broadcast
     "q_rmse",             # global error aggregate row
     "q_tfidf_topterm",    # corpus doc-count row for the IDF term
     "q_user_inactivity",  # as-of (max ts) row
@@ -825,3 +827,101 @@ def test_downsample_m4_is_one_exchange(q):
     assert phys.count("Window") == 2, phys
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys, phys
+
+
+def test_tpch_q2_window_min_single_fact_scan(q):
+    """c27: the per-part regional min must be a window over the reduced
+    (part, supplier) pair frame — the aggregate + join-back spelling made
+    Catalyst duplicate the whole lineitem subtree (two fact scans, five
+    exchanges) because the min-equality filter got pulled back into a
+    two-key join. Pins: one fact scan, two hash exchanges, one window,
+    no sort-merge join."""
+    phys = physical_plan(q("q_tpch_q2_min_cost_supplier"))
+    assert phys.count("lineitem.parquet") == 1, phys
+    assert phys.count("Exchange hashpartitioning") == 2, phys
+    assert phys.count("Window") == 1, phys
+    assert "SortMergeJoin" not in phys, phys
+
+
+def test_tpch_q4_exists_lowers_to_semi_join(q):
+    """c28: the correlated EXISTS (equi key + cross-table date predicate)
+    must lower to a LEFT SEMI join — each order emits at most once, no
+    count-then-dedup, no nested loop — and the quarter filter must reach
+    the orders scan."""
+    phys = physical_plan(q("q_tpch_q4_order_priority"))
+    assert "LeftSemi" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    plan = full_explain(q("q_tpch_q4_order_priority"))
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan, plan
+
+
+def test_tpch_q12_lateness_inside_orderkey_join(q):
+    """c30: the fact⋈fact join stays keyed on l_orderkey with the
+    cross-table lateness predicate as the join residual — no nested loop
+    — and the shipdate-year range reaches the lineitem scan."""
+    phys = physical_plan(q("q_tpch_q12_late_priority"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    plan = full_explain(q("q_tpch_q12_late_priority"))
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_tpch_q16_blacklist_is_broadcast_anti(q):
+    """c31: the NOT IN blacklist must lower to a broadcast anti-join
+    (key non-null by schema, so the null-poisoning rewrite is not
+    needed); the class dim broadcasts with its three predicates."""
+    phys = physical_plan(q("q_tpch_q16_supplier_cnt"))
+    assert "LeftAnti" in phys and "Broadcast" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_tpch_q19_disjunction_pushes_both_sides(q):
+    """c32: the OR-of-conjunctions must keep the p_partkey equi-join
+    (broadcast, no nested loop) while each side's residual union pushes
+    to its scan — the quantity-range union onto lineitem, the
+    brand/size union onto part."""
+    phys = physical_plan(q("q_tpch_q19_disjunctive_rev"))
+    assert "BroadcastHashJoin" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    plan = full_explain(q("q_tpch_q19_disjunctive_rev"))
+    assert "l_quantity" in plan and "p_brand" in plan, plan
+
+
+def test_tpch_q20_threshold_join_on_reduced_pairs(q):
+    """c33: the correlated-aggregate threshold is a per-part window over
+    the reduced (part, supplier) pair frame — an aggregate + join-back
+    duplicates the fact scan (the c27 lesson). Pins: one fact scan, one
+    window, no nested loop."""
+    phys = physical_plan(q("q_tpch_q20_concentrated_suppliers"))
+    assert phys.count("lineitem.parquet") == 1, phys
+    assert phys.count("Window") == 1, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_tpch_q21_no_fact_self_join(q):
+    """c34: the EXISTS + NOT EXISTS pair must NOT become self-joins of
+    the fact — the lowering is one (order, supplier) aggregate plus one
+    per-order window over the reduced pair frame. Pins: a single
+    lineitem scan, a window that consumes an aggregate (not raw lines),
+    and no nested loop."""
+    phys = physical_plan(q("q_tpch_q21_sole_late_supplier"))
+    assert phys.count("lineitem.parquet") == 1, phys
+    assert "Window" in phys and "HashAggregate" in phys, phys
+    assert phys.index("Window") < phys.rindex("HashAggregate"), phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_tpch_q22_not_exists_is_anti_join(q):
+    """c35: the NOT EXISTS lowers to an anti-join against the date-pruned
+    orders; the scalar threshold is the adjudicated 1-row broadcast (the
+    only nested loop allowed); the order-date cutoff reaches the scan."""
+    phys = physical_plan(q("q_tpch_q22_idle_customers"))
+    assert "LeftAnti" in phys, phys
+    plan = full_explain(q("q_tpch_q22_idle_customers"))
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:600] or \
+        "o_orderdate" in plan, plan
