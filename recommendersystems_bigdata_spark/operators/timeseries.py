@@ -306,3 +306,189 @@ def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_asc") == 1, F.col("v_e2"))).alias("v_first_e2"),
         F.max(F.when(F.col("rn_desc") == 1, F.col("v_e2"))).alias("v_last_e2"),
     )
+
+
+@query(
+    "q_counter_reset_increase",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             sum({_VAL_E2}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) % 100000 AS counter
+      FROM events
+    ), d AS (
+      SELECT user_id, counter,
+             lag(counter) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM c
+    )
+    SELECT user_id, count(*) AS n_samples,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN counter >= prev THEN counter - prev
+                         ELSE counter END) AS BIGINT) AS increase_e2,
+           CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_counter_reset_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.Q q6 — monotonic-counter increase with reset handling: the
+    Prometheus ``increase()`` convention. The input counter is derived
+    deterministically (per-user running e2 sum modulo 1e5, so it really
+    does wrap), and the operator reconstructs total increase treating
+    every drop as a restart-from-zero: ``delta >= 0 ? delta : current``
+    — exactly how a monitoring store reads a crashed process's counter.
+    All integer arithmetic; reset counts surface for auditability.
+
+    Scale: one shuffle on user_id shared by the cumulative-sum window,
+    the lag window (same (ts, event_id) sort — one Window stage chain,
+    no re-sort) and the final per-user aggregate; O(1) state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        F.sum(F.expr(_VAL_E2))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        % 100000
+    )
+    c = ev.select("user_id", "ts", "event_id", cum.alias("counter"))
+    d = c.select(
+        "user_id", "counter", F.lag("counter").over(w).alias("prev")
+    )
+    inc = F.when(F.col("prev").isNull(), 0).when(
+        F.col("counter") >= F.col("prev"), F.col("counter") - F.col("prev")
+    ).otherwise(F.col("counter"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(inc).alias("increase_e2"),
+            F.sum(
+                F.when(F.col("counter") < F.col("prev"), 1).otherwise(0)
+            ).alias("n_resets"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_gapfill_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, day, v_e2 FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               {_VAL_E2} AS v_e2,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM (SELECT user_id, min(day) AS dmin, max(day) AS dmax
+            FROM daily GROUP BY 1)
+    ), filled AS (
+      SELECT g.user_id, g.day, d.v_e2,
+        last_value(d.v_e2 IGNORE NULLS) OVER w_fwd AS v0,
+        last_value(CASE WHEN d.v_e2 IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER w_fwd AS d0,
+        first_value(d.v_e2 IGNORE NULLS) OVER w_bwd AS v1,
+        first_value(CASE WHEN d.v_e2 IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER w_bwd AS d1
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+      WINDOW w_fwd AS (PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_bwd AS (PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CAST(CASE WHEN v_e2 IS NOT NULL THEN v_e2
+                ELSE v0 + ((v1 - v0) * (day - d0)) // (d1 - d0) END AS BIGINT)
+             AS v_e2_filled,
+           CAST(CASE WHEN v_e2 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS observed
+    FROM filled
+    """,
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.Q q7 — gap-fill with LINEAR interpolation (TimescaleDB
+    ``time_bucket_gapfill`` + ``interpolate``; complements LOCF
+    q_resample_ffill): each user's daily series is completed over the
+    full min..max day grid, missing days interpolated between the
+    bracketing observations. Daily "last" value is pinned by the unique
+    (ts, event_id) descending row_number (no engine tie whim); the
+    interpolation ``v0 + (v1-v0)·Δd div span`` is a truncating integer
+    division (Spark ``div`` ≡ DuckDB ``//`` toward zero for any sign —
+    (v1-v0) is frequently negative here), never a rounded float. Grid
+    edges are always observed (the grid spans observations), so no
+    NULL-edge semantics to disagree on.
+
+    Scale: the grid explode is bounded (per-user span in days, ≤31 on
+    this corpus; a year-long deployment caps it by chunking the grid to
+    the refresh window); the (user, day) join and both ignore-nulls
+    carry windows share the per-user partitioning. Nothing in the plan
+    scales with events except the initial daily reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr(_VAL_E2).alias("v_e2"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "v_e2")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("dmin"), F.col("dmax"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_e2").isNotNull(), F.col("day"))
+    filled = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("v0", F.last("v_e2", ignorenulls=True).over(w_fwd))
+        .withColumn("d0", F.last(obs_day, ignorenulls=True).over(w_fwd))
+        .withColumn("v1", F.first("v_e2", ignorenulls=True).over(w_bwd))
+        .withColumn("d1", F.first(obs_day, ignorenulls=True).over(w_bwd))
+    )
+    return filled.select(
+        "user_id",
+        # dates leave the engines as different pandas dtypes (str vs
+        # datetime); a µs timestamp canonicalizes identically — the same
+        # adjudication q_rollup_multires carries
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.when(F.col("v_e2").isNotNull(), F.col("v_e2"))
+        .otherwise(
+            F.expr(
+                "v0 + ((v1 - v0) * datediff(day, d0)) div datediff(d1, d0)"
+            )
+        )
+        .cast("long")
+        .alias("v_e2_filled"),
+        F.when(F.col("v_e2").isNotNull(), 1).otherwise(0).cast("int")
+        .alias("observed"),
+    )

@@ -83,6 +83,7 @@ _TAIL2 = (
     f"{_PKG}.operators.tpch_extra",
     f"{_PKG}.operators.timeseries",
     f"{_PKG}.operators.tpch_adapt",
+    f"{_PKG}.operators.incremental",
 )
 
 

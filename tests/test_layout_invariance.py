@@ -47,6 +47,14 @@ HARDENED = (
     "q_tpch_q19_disjunctive_rev",
     "q_tpch_q20_concentrated_suppliers",
     "q_tpch_q22_idle_customers",
+    # round-8 incremental maintenance: the retraction merge must equal
+    # the recompute on every layout — the whole point is exact integer
+    # group arithmetic
+    "q_incr_retract_orders",
+    # round-8 time-series late pair: integer counter-reset accounting and
+    # the truncating-div linear interpolation
+    "q_counter_reset_increase",
+    "q_gapfill_interpolate",
 )
 
 

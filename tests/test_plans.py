@@ -925,3 +925,34 @@ def test_tpch_q22_not_exists_is_anti_join(q):
     plan = full_explain(q("q_tpch_q22_idle_customers"))
     assert "o_orderdate" in plan.split("PushedFilters")[1][:600] or \
         "o_orderdate" in plan, plan
+
+
+def test_incr_retract_merge_is_exchange_free(q):
+    """§2.R i1: the retraction merge is two co-partitioned branch
+    aggregates (snapshot + negated delete batch) whose merge aggregate
+    sits directly on the Union with NO third hash exchange, and no join
+    anywhere — what keeps delete-maintenance O(touched groups)."""
+    phys = physical_plan(q("q_incr_retract_orders"))
+    assert phys.count("Exchange hashpartitioning") == 2, phys
+    assert "Union" in phys and "Join" not in phys, phys
+
+
+def test_counter_reset_shares_one_user_exchange(q):
+    """§2.Q q6: the cumulative-sum window, the lag window and the final
+    per-user aggregate all hash on user_id — one exchange for the whole
+    reset-accounting pipeline, O(1) state per row."""
+    phys = physical_plan(q("q_counter_reset_increase"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_gapfill_grid_is_bounded_and_joined_on_key(q):
+    """§2.Q q7: the day grid comes from a per-user sequence explode
+    (bounded by the user's span, never a cartesian calendar), the
+    grid⋈daily join stays equi on (user, day), and both carry windows
+    run on the user partitioning — no nested loop anywhere."""
+    phys = physical_plan(q("q_gapfill_interpolate"))
+    assert "Generate explode" in phys or "Generate" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
