@@ -820,3 +820,244 @@ def test_time_weighted_avg_matches_python(spark, rows):
     finally:
         con.close()
     assert got_duck == expect, {"duck": got_duck, "python": expect}
+
+
+# ---------------------------------------------------------------------------
+# Counter-reset increase kernel fuzz (§2.Q q6, round 8). The Prometheus
+# increase() convention over a wrapping counter: per user ordered by
+# (ts, eid), counter = cumsum(v) mod M; increase = sum of
+# (delta >= 0 ? delta : current). This spec pins the full composition
+# (cumsum window, mod, lag, conditional sum) against a Python reference
+# in BOTH engines, including duplicate timestamps where only the eid
+# tiebreak keeps the cumsum order defined, and tiny M values that force
+# frequent resets.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # user
+            st.integers(0, 1000),     # ts (duplicates allowed)
+            st.integers(0, 500),      # v (non-negative increments)
+        ),
+        min_size=1, max_size=100,
+    ),
+    modulus=st.sampled_from([7, 100, 997]),
+)
+def test_counter_reset_increase_matches_python(spark, rows, modulus):
+    events = [(u, ts, v, eid) for eid, (u, ts, v) in enumerate(rows)]
+    expect = {}
+    for u in {e[0] for e in events}:
+        seq = sorted((e for e in events if e[0] == u), key=lambda e: (e[1], e[3]))
+        counters, acc = [], 0
+        for _u, _ts, v, _eid in seq:
+            acc += v
+            counters.append(acc % modulus)
+        inc = n_resets = 0
+        for i, cur in enumerate(counters):
+            if i == 0:
+                continue
+            prev = counters[i - 1]
+            if cur >= prev:
+                inc += cur - prev
+            else:
+                inc += cur
+                n_resets += 1
+        expect[u] = (len(seq), inc, n_resets)
+    sdf = spark.createDataFrame(events, "u INT, ts BIGINT, v BIGINT, eid INT")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("u").orderBy("ts", "eid")
+    cum = (
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        % modulus
+    )
+    d = sdf.select("u", "ts", "eid", cum.alias("counter")).select(
+        "u", "counter", F.lag("counter").over(w).alias("prev")
+    )
+    inc_col = (
+        F.when(F.col("prev").isNull(), 0)
+        .when(F.col("counter") >= F.col("prev"), F.col("counter") - F.col("prev"))
+        .otherwise(F.col("counter"))
+    )
+    got_spark = {
+        r["u"]: (r["n"], r["inc"], r["nr"])
+        for r in d.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(inc_col).alias("inc"),
+            F.sum(
+                F.when(F.col("counter") < F.col("prev"), 1).otherwise(0)
+            ).alias("nr"),
+        )
+        .collect()
+    }
+    assert got_spark == expect, {"spark": got_spark, "python": expect}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE ev (u INT, ts BIGINT, v BIGINT, eid INT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", events)
+        got_duck = {
+            u: (n, inc, nr)
+            for u, n, inc, nr in con.execute(
+                f"""
+                WITH c AS (
+                  SELECT u, ts, eid,
+                         sum(v) OVER (PARTITION BY u ORDER BY ts, eid
+                                      ROWS UNBOUNDED PRECEDING) % {modulus}
+                           AS counter
+                  FROM ev
+                ), d AS (
+                  SELECT u, counter,
+                         lag(counter) OVER (PARTITION BY u ORDER BY ts, eid)
+                           AS prev
+                  FROM c
+                )
+                SELECT u, count(*),
+                       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                                WHEN counter >= prev THEN counter - prev
+                                ELSE counter END) AS BIGINT),
+                       CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END)
+                            AS BIGINT)
+                FROM d GROUP BY u
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got_duck == expect, {"duck": got_duck, "python": expect}
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill linear-interpolation kernel fuzz (§2.Q q7, round 8). Sparse
+# per-user daily series -> full min..max grid with missing days filled by
+# v0 + (v1-v0)*dd div span (truncating division, sign matters: falling
+# series make the numerator negative). Pinned against a Python reference
+# in BOTH engines, including single-observation users (grid of one day,
+# nothing to interpolate) and adjacent-day observations (no gap).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),       # user
+            st.integers(0, 40),      # day offset (collisions resolved below)
+            st.integers(-5000, 5000),  # v_e2 (negatives exercise div sign)
+        ),
+        min_size=1, max_size=60,
+    ),
+)
+def test_gapfill_interpolation_matches_python(spark, obs):
+    # one observation per (user, day): keep the LAST occurrence, matching
+    # the operator's row_number-desc daily reduction
+    daily = {}
+    for u, d, v in obs:
+        daily[(u, d)] = v
+    rows = [(u, d, v) for (u, d), v in daily.items()]
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    expect = {}
+    for u in {r[0] for r in rows}:
+        pts = sorted((d, v) for uu, d, v in rows if uu == u)
+        days = [d for d, _ in pts]
+        for d in range(days[0], days[-1] + 1):
+            if (u, d) in daily:
+                expect[(u, d)] = (daily[(u, d)], 1)
+            else:
+                d0, v0 = max((p for p in pts if p[0] < d), key=lambda p: p[0])
+                d1, v1 = min((p for p in pts if p[0] > d), key=lambda p: p[0])
+                expect[(u, d)] = (v0 + trunc_div((v1 - v0) * (d - d0), d1 - d0), 0)
+    sdf = spark.createDataFrame(rows, "u INT, day INT, v BIGINT")
+    from pyspark.sql import Window as W
+
+    grid = (
+        sdf.groupBy("u")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "u", F.explode(F.sequence("dmin", "dmax")).alias("day")
+        )
+    )
+    w_fwd = W.partitionBy("u").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_bwd = W.partitionBy("u").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    filled = (
+        grid.join(sdf, ["u", "day"], "left")
+        .withColumn("v0", F.last("v", ignorenulls=True).over(w_fwd))
+        .withColumn("d0", F.last(obs_day, ignorenulls=True).over(w_fwd))
+        .withColumn("v1", F.first("v", ignorenulls=True).over(w_bwd))
+        .withColumn("d1", F.first(obs_day, ignorenulls=True).over(w_bwd))
+        .select(
+            "u",
+            "day",
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .otherwise(F.expr("v0 + ((v1 - v0) * (day - d0)) div (d1 - d0)"))
+            .cast("long")
+            .alias("vf"),
+            F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("ob"),
+        )
+    )
+    got_spark = {(r["u"], r["day"]): (r["vf"], r["ob"]) for r in filled.collect()}
+    assert got_spark == expect, {
+        k: (got_spark.get(k), expect.get(k))
+        for k in set(got_spark) | set(expect)
+        if got_spark.get(k) != expect.get(k)
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (u INT, day INT, v BIGINT)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+        got_duck = {
+            (u, day): (vf, ob)
+            for u, day, vf, ob in con.execute(
+                """
+                WITH grid AS (
+                  SELECT u, unnest(generate_series(dmin, dmax)) AS day
+                  FROM (SELECT u, min(day) AS dmin, max(day) AS dmax
+                        FROM d GROUP BY 1)
+                ), filled AS (
+                  SELECT g.u, g.day, d.v,
+                    last_value(d.v IGNORE NULLS) OVER w_fwd AS v0,
+                    last_value(CASE WHEN d.v IS NOT NULL THEN g.day END
+                               IGNORE NULLS) OVER w_fwd AS d0,
+                    first_value(d.v IGNORE NULLS) OVER w_bwd AS v1,
+                    first_value(CASE WHEN d.v IS NOT NULL THEN g.day END
+                                IGNORE NULLS) OVER w_bwd AS d1
+                  FROM grid g LEFT JOIN d ON d.u = g.u AND d.day = g.day
+                  WINDOW w_fwd AS (PARTITION BY g.u ORDER BY g.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         w_bwd AS (PARTITION BY g.u ORDER BY g.day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                )
+                SELECT u, day,
+                       CAST(CASE WHEN v IS NOT NULL THEN v
+                            ELSE v0 + ((v1 - v0) * (day - d0)) // (d1 - d0)
+                            END AS BIGINT),
+                       CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END
+                FROM filled
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got_duck == expect, {
+        k: (got_duck.get(k), expect.get(k))
+        for k in set(got_duck) | set(expect)
+        if got_duck.get(k) != expect.get(k)
+    }
