@@ -204,3 +204,125 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return joined.filter(F.col("containment_bp") >= _CONTAIN_BP)
+
+
+# Jaccard threshold for p3, in basis points (0.8). The prefix length
+# below hardcodes the exact-rational spelling of ceil(0.8·n).
+_PPJOIN_BP = 8000
+
+
+@query(
+    "q_ppjoin_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))) AS t
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(sa.n_tok + sb.n_tok - n_shared AS BIGINT) AS n_union,
+           CAST((10000 * n_shared) // (sa.n_tok + sb.n_tok - n_shared)
+                AS BIGINT) AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE (10000 * n_shared) // (sa.n_tok + sb.n_tok - n_shared) >= 8000
+    """,
+)
+def q_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p3 — PPJoin-style prefix-filtered set-similarity self-join:
+    lang-blocked doc pairs with token-set Jaccard ≥ 0.80, computed the
+    way a 100 TB deployment must — candidates come only from PREFIX
+    posting lists, never the full inverted index. This implements the
+    tightening p2's docstring promises: order each doc's distinct
+    tokens by ascending global (lang, token) document frequency (ties
+    by token string) and index only the first
+    ``|x| − ⌈t·|x|⌉ + 1`` tokens. Correctness of the filter: J(A,B) ≥ t
+    forces |A∩B| ≥ t·max(|A|,|B|) (since J ≤ min/max, so min ≥ t·max),
+    and the overlap prefix lemma then guarantees the two prefixes share
+    a token (Chaudhuri et al., ICDE 2006; Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008 — PPJoin). ⌈0.8n⌉ is the exact integer
+    ``(4n + 4) div 5``, so the prefix boundary is engine-identical.
+    **The oracle is the full brute-force posting-list join** — the hash
+    match certifies prefix-filtered ≡ exhaustive on real data (the p1
+    certification pattern), not merely that the fast path is fast.
+
+    Scale: the full index explodes Σ|doc| tokens, but the JOIN runs
+    only on prefix rows — rare-token-first ordering makes prefix
+    posting lists the shortest ones, collapsing the Σdf² join cost on
+    corpora where most token-sharing pairs are NOT near-dups. Two
+    honest measured findings (SCALE.md): on THIS near-dup-dense
+    synthetic corpus the filter prunes almost nothing (32.5k candidates
+    vs 33.5k brute-force token-sharing pairs at sf0.01 — nearly every
+    pair is a true near-dup, so no candidate filter has anything to
+    remove), and the output itself grows as Σ cluster² with sf
+    (output-bound 18.7× wall for 95× more qualifying pairs at 10×
+    docs) — which is why at 100 TB mega-clusters go through
+    q_dedup_clusters (one component id per doc) and p3 serves as the
+    exact-pair PRIMITIVE. Verify is candidate-bounded (distinct-deduped
+    so counts cannot inflate); no nested loop (plan-asserted). All
+    ratios exact integer basis points."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    tok = docs.select("doc_id", "lang", F.explode(tokens).alias("t"))
+    dfreq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "t")
+    w_cnt = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(dfreq, ["lang", "t"])
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_tok", F.count(F.lit(1)).over(w_cnt))
+    )
+    # prefix length |x| - ceil(0.8|x|) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_tok") - F.expr("(4 * n_tok + 4) div 5") + 1
+    ).select("doc_id", "lang", "t")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t"))
+    tb = tok.select(F.col("doc_id").alias("b_id"), F.col("t").alias("tb"))
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("b_id")) & (F.col("t") == F.col("tb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("CAST(na + nb - n_shared AS BIGINT)").alias("n_union"),
+            F.expr(
+                "CAST((10000 * n_shared) div (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= _PPJOIN_BP)
+    )

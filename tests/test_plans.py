@@ -956,3 +956,13 @@ def test_gapfill_grid_is_bounded_and_joined_on_key(q):
     assert "Generate explode" in phys or "Generate" in phys, phys
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys, phys
+
+
+def test_ppjoin_candidates_from_prefix_only(q):
+    """p3: candidate pairs must come from the PREFIX posting lists (the
+    frequency-ranked Window feeds the self-join), the verify join stays
+    candidate-bounded equi, and nothing lowers to a nested loop."""
+    phys = physical_plan(q("q_ppjoin_jaccard"))
+    assert "Window" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
