@@ -84,6 +84,7 @@ _TAIL2 = (
     f"{_PKG}.operators.timeseries",
     f"{_PKG}.operators.tpch_adapt",
     f"{_PKG}.operators.incremental",
+    f"{_PKG}.operators.attribution",
 )
 
 
@@ -146,7 +147,17 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # fresh driver evidence once per 5 rounds, instead of rounds 10..20
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
-    return _module_order(5 + (rnd - 10) % 5)
+    # One amendment (late round 8): _TAIL2 grew to 51 keys, one past the
+    # round-9 first-50 cut, so the cycle's round-5 slot (rounds 10/15/20)
+    # leads with the overflow module (operators.attribution, whose second
+    # key q_attribution_lag is #51 in the round-9 order) before the
+    # round-5 order — giving the overflow driver evidence in round 10
+    # while rounds 11..14 keep their already-committed windows.
+    base = _module_order(5 + (rnd - 10) % 5)
+    if (rnd - 10) % 5 == 0:
+        attr = f"{_PKG}.operators.attribution"
+        return (attr,) + tuple(m for m in base if m != attr)
+    return base
 
 
 _QUERY_MODULES = _module_order(_driver_round())

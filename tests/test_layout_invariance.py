@@ -55,6 +55,10 @@ HARDENED = (
     # the truncating-div linear interpolation
     "q_counter_reset_increase",
     "q_gapfill_interpolate",
+    # round-8 attribution: integer basis-point credit split and the
+    # truncating-div microsecond lag mean
+    "q_attribution_multitouch",
+    "q_attribution_lag",
 )
 
 

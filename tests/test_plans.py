@@ -966,3 +966,15 @@ def test_ppjoin_candidates_from_prefix_only(q):
     assert "Window" in phys, phys
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys, phys
+
+
+def test_attribution_join_keeps_user_equi_conjunct(q):
+    """§2.S: the conversion⋈touch lookback join must hash-partition on
+    the user_id equi conjunct with the time range as residual (the c8
+    rule) — never a nested loop — and the per-conversion rankings run
+    over the paired frame, not raw events."""
+    for key in ("q_attribution_multitouch", "q_attribution_lag"):
+        phys = physical_plan(q(key))
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, f"{key}:\n{phys}"
+        assert "Window" in phys, f"{key}:\n{phys}"

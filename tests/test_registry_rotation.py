@@ -33,11 +33,12 @@ def test_rotation_orders_are_permutations():
         assert set(order) == all_mods, f"round {rnd} drops a module"
 
 
-def test_rounds_4_to_9_cover_all_keys():
+def test_rounds_4_to_10_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
-    cover every registered key: after round 9 every §2 operator (the
-    round-5 curation tail leads the round-8 order, the graph tail leads
-    round 9) has appeared in a driver CORRECTNESS sample."""
+    cover every registered key: after round 10 every §2 operator (the
+    round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
+    and the one-key _TAIL2 overflow — q_attribution_lag, key #51 — leads
+    round 10) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -49,7 +50,7 @@ def test_rounds_4_to_9_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9):
+    for rnd in (4, 5, 6, 7, 8, 9, 10):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -59,8 +60,16 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     """Re-confirmation rounds: every round ≥ 10 must reuse one of the five
     pinned round-5..9 orders (cycling), so each key re-greens once per 5
     rounds and no future window escapes an existing presample."""
+    attr = f"{registry._PKG}.operators.attribution"
     for rnd in range(10, 21):
-        assert registry._module_order(rnd) == registry._module_order(5 + (rnd - 10) % 5)
+        base = registry._module_order(5 + (rnd - 10) % 5)
+        if (rnd - 10) % 5 == 0:
+            # the round-5 cycle slot leads with the _TAIL2 overflow module
+            assert registry._module_order(rnd) == (attr,) + tuple(
+                m for m in base if m != attr
+            )
+        else:
+            assert registry._module_order(rnd) == base
     # the cycle actually rotates: consecutive rounds differ
     assert registry._module_order(10) != registry._module_order(11)
 
@@ -79,7 +88,10 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    assert tail2_keys <= set(_first50(9))
+    # 51 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # round 10's overflow lead takes the last one (q_attribution_lag)
+    assert tail2_keys <= set(_first50(9)) | set(_first50(10))
+    assert "q_attribution_lag" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():
