@@ -208,3 +208,94 @@ def q_attribution_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_channel")
     )
+
+
+@query(
+    "q_attribution_time_decay",
+    oracle=f"""
+    {_PAIRS_SQL}
+    , weighted AS (
+      SELECT user_id, conv_id, event_type, rn_desc,
+             (1 << (6 - CAST((conv_us - touch_us) // 86400000000 AS INT)))
+               AS w
+      FROM pairs
+    ), totaled AS (
+      SELECT user_id, conv_id, event_type, rn_desc,
+             (w * 10000) // sum(w) OVER (PARTITION BY user_id, conv_id)
+               AS credit_trunc
+      FROM weighted
+    ), credited AS (
+      SELECT event_type, rn_desc, credit_trunc,
+             10000 - sum(credit_trunc)
+               OVER (PARTITION BY user_id, conv_id) AS rem
+      FROM totaled
+    )
+    SELECT event_type AS channel,
+           CAST(sum(credit_trunc
+                    + CASE WHEN rn_desc = 1 THEN rem ELSE 0 END) AS BIGINT)
+             AS decay_credit_bp,
+           count(*) AS n_touches
+    FROM credited
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.S s3 — time-decay attribution, the fourth standard model: a
+    touch's weight HALVES per day of age (power-of-two weights
+    ``2^(6 − age_days)`` for age 0..6 inside the 7-day lookback — the
+    q2-EWMA trick that keeps exponential decay in exact int64). Each
+    conversion's 10000 bp distribute proportionally to weight via
+    truncating division, remainder to the most recent touch — so decay
+    credits sum to exactly 10000 per conversion, like s1's linear model,
+    and no float power/divide exists anywhere.
+
+    Scale: identical shape to s1 — the user-equi pairing plus
+    (user, conversion) windows (weight total, truncated-credit total,
+    recency rank) over the paired frame; final aggregate is |channels|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), us.alias("conv_us")
+    )
+    touch = ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        us.alias("touch_us"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(_LOOKBACK_US)),
+    )
+    w = Window.partitionBy("user_id", "conv_id")
+    weighted = pairs.select(
+        "user_id",
+        "conv_id",
+        "event_type",
+        F.row_number()
+        .over(w.orderBy(F.col("touch_us").desc(), F.col("touch_id").desc()))
+        .alias("rn_desc"),
+        F.expr(
+            "shiftleft(1, 6 - CAST((conv_us - touch_us) div 86400000000 AS INT))"
+        ).alias("wt"),
+    ).withColumn("w_total", F.sum("wt").over(w))
+    credited = weighted.withColumn(
+        "credit_trunc", F.expr("(wt * 10000) div w_total")
+    ).withColumn("rem", F.lit(10000) - F.sum("credit_trunc").over(w))
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(
+                F.col("credit_trunc")
+                + F.when(F.col("rn_desc") == 1, F.col("rem")).otherwise(0)
+            )
+            .cast("long")
+            .alias("decay_credit_bp"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("channel")
+    )

@@ -59,6 +59,7 @@ HARDENED = (
     # truncating-div microsecond lag mean
     "q_attribution_multitouch",
     "q_attribution_lag",
+    "q_attribution_time_decay",
 )
 
 

@@ -973,7 +973,8 @@ def test_attribution_join_keeps_user_equi_conjunct(q):
     the user_id equi conjunct with the time range as residual (the c8
     rule) — never a nested loop — and the per-conversion rankings run
     over the paired frame, not raw events."""
-    for key in ("q_attribution_multitouch", "q_attribution_lag"):
+    for key in ("q_attribution_multitouch", "q_attribution_lag",
+                "q_attribution_time_decay"):
         phys = physical_plan(q(key))
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in phys, f"{key}:\n{phys}"
