@@ -492,3 +492,81 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v_e2").isNotNull(), 1).otherwise(0).cast("int")
         .alias("observed"),
     )
+
+
+@query(
+    "q_trend_slope",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(date_diff('day',
+                    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                      OVER (PARTITION BY user_id),
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  AS BIGINT) AS x,
+             {_VAL_E2} AS y
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_points,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den,
+           CAST(CASE WHEN count(*) * sum(x * y) - sum(x) * sum(y) > 0 THEN 1
+                     WHEN count(*) * sum(x * y) - sum(x) * sum(y) < 0 THEN -1
+                     ELSE 0 END AS INT) AS trend
+    FROM pts
+    GROUP BY user_id
+    HAVING count(*) * sum(x * x) - sum(x) * sum(x) > 0
+    ORDER BY user_id
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.Q q8 — per-user value trend as an EXACT RATIONAL OLS slope:
+    the least-squares slope over (day offset, value_e2) points is
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` — both sides of the fraction
+    are pure int64 sums of integer products, so the repo reports the
+    UNREDUCED numerator and denominator exactly instead of a
+    layout-sensitive float division, plus the sign as the trend class
+    (+1 rising / −1 falling / 0 flat). x is the day offset from the
+    user's own first active day (0..29 on this corpus), y the exact e2
+    value. Users whose points share one day (denominator 0 — slope
+    undefined) are excluded by the HAVING, identically in both engines.
+    Overflow headroom: n ≤ 10³ points/user-month, x ≤ 31, y ≤ 10⁶ ⇒
+    |n·Σxy| ≲ 10¹³, five orders below 2^63.
+
+    Scale: one shuffle on user_id shared by the min-day window and the
+    final aggregate (same key); all five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) partial-aggregate map-side — the classic
+    one-pass regression-state pattern, and the state is mergeable, so
+    this drops into the a19 snapshot+delta refresh unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    w_user = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        F.datediff(day, F.min(day).over(w_user)).cast("long").alias("x"),
+        F.expr(_VAL_E2).alias("y"),
+    )
+    agg = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("sum(x * y)").alias("sxy"),
+        F.expr("sum(x * x)").alias("sxx"),
+    )
+    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.select(
+            "user_id",
+            "n_points",
+            num.cast("long").alias("slope_num"),
+            den.cast("long").alias("slope_den"),
+            F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+            .cast("int")
+            .alias("trend"),
+        )
+        .filter(F.col("slope_den") > 0)
+        .orderBy("user_id")
+    )

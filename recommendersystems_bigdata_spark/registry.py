@@ -148,12 +148,11 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8): _TAIL2 grew past the round-9 first-50
-    # cut (52 keys; operators.attribution's q_attribution_lag and
-    # q_attribution_time_decay are #51/#52 in the round-9 order), so the
-    # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
-    # module before the round-5 order — giving the overflow driver
-    # evidence in round 10 while rounds 11..14 keep their
-    # already-committed windows.
+    # cut (53 keys; operators.attribution's three keys are #51..#53 in
+    # the round-9 order), so the cycle's round-5 slot (rounds 10/15/20)
+    # leads with the overflow module before the round-5 order — giving
+    # the overflow driver evidence in round 10 while rounds 11..14 keep
+    # their already-committed windows.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         attr = f"{_PKG}.operators.attribution"

@@ -60,6 +60,8 @@ HARDENED = (
     "q_attribution_multitouch",
     "q_attribution_lag",
     "q_attribution_time_decay",
+    # round-8 exact-rational OLS slope: pure integer sufficient statistics
+    "q_trend_slope",
 )
 
 

@@ -979,3 +979,14 @@ def test_attribution_join_keeps_user_equi_conjunct(q):
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in phys, f"{key}:\n{phys}"
         assert "Window" in phys, f"{key}:\n{phys}"
+
+
+def test_trend_slope_single_exchange(q):
+    """§2.Q q8: the min-day window and the sufficient-statistics
+    aggregate share the user_id partitioning — one exchange for the
+    whole regression, stats partial-aggregated map-side."""
+    phys = physical_plan(q("q_trend_slope"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("HashAggregate") >= 2, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
