@@ -216,8 +216,8 @@ def q_attribution_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PAIRS_SQL}
     , weighted AS (
       SELECT user_id, conv_id, event_type, rn_desc,
-             (1 << (6 - CAST((conv_us - touch_us) // 86400000000 AS INT)))
-               AS w
+             (1 << greatest(0, 6 - CAST((conv_us - touch_us) // 86400000000
+                                        AS INT))) AS w
       FROM pairs
     ), totaled AS (
       SELECT user_id, conv_id, event_type, rn_desc,
@@ -243,8 +243,13 @@ def q_attribution_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.S s3 — time-decay attribution, the fourth standard model: a
     touch's weight HALVES per day of age (power-of-two weights
-    ``2^(6 − age_days)`` for age 0..6 inside the 7-day lookback — the
-    q2-EWMA trick that keeps exponential decay in exact int64). Each
+    ``2^(max(0, 6 − age_days))`` inside the 7-day lookback — the
+    q2-EWMA trick that keeps exponential decay in exact int64). The
+    lookback's INCLUSIVE lower bound admits a touch exactly 7 days old
+    (age_days = 7); the ``greatest(0, ...)`` clamp pins its weight at 1
+    — the same as day 6 — instead of a negative shift, which DuckDB
+    rejects outright and Java shift-masks into garbage (the round-8
+    ADVICE boundary finding). Each
     conversion's 10000 bp distribute proportionally to weight via
     truncating division, remainder to the most recent touch — so decay
     credits sum to exactly 10000 per conversion, like s1's linear model,
@@ -280,7 +285,8 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.orderBy(F.col("touch_us").desc(), F.col("touch_id").desc()))
         .alias("rn_desc"),
         F.expr(
-            "shiftleft(1, 6 - CAST((conv_us - touch_us) div 86400000000 AS INT))"
+            "shiftleft(1, greatest(0, 6 - CAST((conv_us - touch_us)"
+            " div 86400000000 AS INT)))"
         ).alias("wt"),
     ).withColumn("w_total", F.sum("wt").over(w))
     credited = weighted.withColumn(

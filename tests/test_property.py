@@ -1061,3 +1061,110 @@ def test_gapfill_interpolation_matches_python(spark, obs):
         for k in set(got_duck) | set(expect)
         if got_duck.get(k) != expect.get(k)
     }
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution weight kernel fuzz (§2.S s3, round-8 ADVICE
+# boundary finding). The lookback's lower bound is INCLUSIVE
+# (touch_us >= conv_us - 7d), so a touch exactly 7 days old has
+# age_days = 7 and the naive exponent 6 - age_days goes NEGATIVE — DuckDB
+# rejects a negative left shift outright and Java shift-masks it into a
+# huge bogus weight. The portable spelling clamps:
+# ``1 << greatest(0, 6 - age_days)``. This spec pins the full credit
+# composition (clamped power-of-two weights, truncating bp division,
+# remainder to the most recent touch) against a Python reference in BOTH
+# engines, with ages engineered to land exactly ON whole-day boundaries
+# including the 7-day edge, and ±1 µs around them.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+@settings(
+    max_examples=_n(20), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ages=st.lists(
+        st.one_of(
+            st.integers(1, _WEEK_US),                     # generic in-window age
+            st.integers(1, 7).map(lambda d: d * _DAY_US), # exact day boundary (incl. 7d)
+            st.integers(1, 7).map(lambda d: d * _DAY_US - 1),
+            st.integers(1, 6).map(lambda d: d * _DAY_US + 1),
+        ),
+        min_size=1, max_size=12, unique=True,
+    ),
+)
+def test_decay_weight_boundary_matches_python(spark, ages):
+    # one conversion at t = _WEEK_US; touch i at age ages[i] µs before it.
+    rows = [(i, age) for i, age in enumerate(ages)]
+
+    def w_of(age):
+        return 1 << max(0, 6 - age // _DAY_US)
+
+    total_w = sum(w_of(a) for _i, a in rows)
+    trunc = {i: (w_of(a) * 10000) // total_w for i, a in rows}
+    # most recent touch: smallest age; tie impossible (ages unique)
+    recent = min(rows, key=lambda r: r[1])[0]
+    expect = {
+        i: trunc[i] + (10000 - sum(trunc.values()) if i == recent else 0)
+        for i, _a in rows
+    }
+    assert sum(expect.values()) == 10000
+
+    wexpr = (
+        "shiftleft(1, greatest(0, 6 - CAST(age_us div {d} AS INT)))".format(d=_DAY_US)
+    )
+    sdf = spark.createDataFrame(rows, "touch_id INT, age_us BIGINT")
+    got_spark = {
+        r["touch_id"]: r["credit"]
+        for r in spark.sql(
+            f"""
+            WITH w AS (SELECT touch_id, age_us, {wexpr} AS wt FROM {{t}}),
+            c AS (SELECT touch_id, age_us,
+                         (wt * 10000) div sum(wt) OVER () AS credit_trunc
+                  FROM w)
+            SELECT touch_id,
+                   credit_trunc + CASE WHEN row_number()
+                       OVER (ORDER BY age_us ASC, touch_id DESC) = 1
+                     THEN 10000 - sum(credit_trunc) OVER () ELSE 0 END AS credit
+            FROM c
+            """,
+            t=sdf,
+        ).collect()
+    }
+    assert got_spark == expect, {
+        k: (got_spark.get(k), expect.get(k))
+        for k in expect if got_spark.get(k) != expect.get(k)
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (touch_id INT, age_us BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        got_duck = dict(
+            con.execute(
+                f"""
+                WITH w AS (SELECT touch_id, age_us,
+                                  (1 << greatest(0, 6 - CAST(age_us // {_DAY_US}
+                                                             AS INT))) AS wt
+                           FROM t),
+                c AS (SELECT touch_id, age_us,
+                             (wt * 10000) // sum(wt) OVER () AS credit_trunc
+                      FROM w)
+                SELECT touch_id,
+                       CAST(credit_trunc + CASE WHEN row_number()
+                           OVER (ORDER BY age_us ASC, touch_id DESC) = 1
+                         THEN 10000 - sum(credit_trunc) OVER () ELSE 0 END
+                         AS BIGINT) AS credit
+                FROM c
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got_duck == expect, {
+        k: (got_duck.get(k), expect.get(k))
+        for k in expect if got_duck.get(k) != expect.get(k)
+    }

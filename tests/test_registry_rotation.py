@@ -37,8 +37,11 @@ def test_rounds_4_to_10_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
     cover every registered key: after round 10 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
-    and the one-key _TAIL2 overflow — q_attribution_lag, key #51 — leads
-    round 10) has appeared in a driver CORRECTNESS sample."""
+    and the three-key _TAIL2 overflow — operators.attribution's
+    q_attribution_multitouch / q_attribution_lag /
+    q_attribution_time_decay, keys #51..#53 in the round-9 order — leads
+    round 10, per registry.py's round-10 amendment comment) has appeared
+    in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -88,8 +91,8 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 51 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
-    # round 10's overflow lead takes the last one (q_attribution_lag)
+    # 53 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # round 10's overflow lead takes the three attribution keys (#51..#53)
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
 
