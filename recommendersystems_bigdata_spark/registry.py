@@ -85,6 +85,13 @@ _TAIL2 = (
     f"{_PKG}.operators.tpch_adapt",
     f"{_PKG}.operators.incremental",
     f"{_PKG}.operators.attribution",
+    # Round-9 additions (after the round-9..13 presamples were pinned):
+    # data-quality expectations (§2.T) and advanced analytics (§2.U).
+    # They sit past attribution (#51..#53 in the round-9 order), i.e.
+    # past the first-50 cut of EVERY committed presample window; the
+    # round-10 overflow lead (below) gives them driver evidence.
+    f"{_PKG}.operators.quality",
+    f"{_PKG}.operators.analytics2",
 )
 
 
@@ -147,16 +154,21 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # fresh driver evidence once per 5 rounds, instead of rounds 10..20
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
-    # One amendment (late round 8): _TAIL2 grew past the round-9 first-50
-    # cut (53 keys; operators.attribution's three keys are #51..#53 in
-    # the round-9 order), so the cycle's round-5 slot (rounds 10/15/20)
-    # leads with the overflow module before the round-5 order — giving
-    # the overflow driver evidence in round 10 while rounds 11..14 keep
-    # their already-committed windows.
+    # One amendment (late round 8, extended round 9): _TAIL2 grew past
+    # the round-9 first-50 cut (now 65 keys; operators.attribution's
+    # three keys are #51..#53 in the round-9 order, and the round-9
+    # additions quality/analytics2 are #54..#65), so the cycle's round-5
+    # slot (rounds 10/15/20) leads with the overflow modules before the
+    # round-5 order — giving the overflow driver evidence in round 10
+    # while rounds 11..14 keep their already-committed windows.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
-        attr = f"{_PKG}.operators.attribution"
-        return (attr,) + tuple(m for m in base if m != attr)
+        overflow = (
+            f"{_PKG}.operators.attribution",
+            f"{_PKG}.operators.quality",
+            f"{_PKG}.operators.analytics2",
+        )
+        return overflow + tuple(m for m in base if m not in overflow)
     return base
 
 

@@ -62,6 +62,15 @@ HARDENED = (
     "q_attribution_time_decay",
     # round-8 exact-rational OLS slope: pure integer sufficient statistics
     "q_trend_slope",
+    # round-9 quality/analytics suite: integer-bp violation rates, the
+    # exact weighted-median crossing, integer-ppm Gini impurity, and the
+    # deterministic KMV estimate (bottom-k merge must be layout-blind)
+    "q_expect_ranges",
+    "q_cross_table_consistency",
+    "q_weighted_median",
+    "q_gini_impurity",
+    "q_distinct_kmv",
+    "q_win_range_frame",
 )
 
 

@@ -439,6 +439,7 @@ _BNLJ_ALLOWED = {
     "q_text_lm_score", "q_repeat_purchase_rate", "q_skew_report",
     "q_graph_degree_distribution",  # 1-row node-count total vs ≤64 buckets
     "q_tcloseness_audit",  # 1-row corpus-total broadcast vs classes×bands
+    "q_distinct_kmv",  # 1-row kth-hash agg × 1-row exact-count agg combine
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
     "q_subquery_in",      # acctbal ≥ scalar threshold row
@@ -988,5 +989,78 @@ def test_trend_slope_single_exchange(q):
     phys = physical_plan(q("q_trend_slope"))
     assert phys.count("Exchange hashpartitioning") == 1, phys
     assert phys.count("HashAggregate") >= 2, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_expect_ranges_single_pruned_scan(q):
+    """§2.T t1: the five range rules ride ONE scan — conditional partial
+    sums into a partial→final global aggregate, the rule pivot is a
+    Generate (stack) over the 1-row frame, and the scan reads only the
+    five audited columns (no keys, no flags)."""
+    plan = full_explain(q("q_expect_ranges"))
+    phys = physical_plan(q("q_expect_ranges"))
+    assert phys.count("HashAggregate") >= 2, phys
+    assert "Generate" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_partkey" not in read_schema[0]
+    assert "l_returnflag" not in read_schema[0]
+
+
+def test_range_frame_single_hash_exchange(q):
+    """§2.U u1: the 30-day rolling sum needs exactly one hash-partition
+    exchange (on o_custkey) and a RANGE-frame window — same-day rows
+    share a frame by value, not by row position."""
+    phys = physical_plan(q("q_win_range_frame"))
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "Window" in phys, phys
+    # the frame is value-based: Spark prints a RangeFrame specification
+    assert "RangeFrame" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_kmv_bottom_k_lowers_to_take_ordered(q):
+    """§2.U u5: the k smallest hashes must lower to
+    TakeOrderedAndProject (mergeable per-shard bottom-k — the b9
+    pattern), never a global Sort."""
+    phys = physical_plan(q("q_distinct_kmv"))
+    assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_point_in_interval_join_is_equi_bucketed(q):
+    """§2.U u7: the interval join must be an EQUI hash/sort-merge join on
+    (user, bucket) with the range as residual — the bucket explode is a
+    Generate — never the nested-loop a naive BETWEEN theta join
+    produces (the c8 rule)."""
+    phys = physical_plan(q("q_join_point_in_interval"))
+    assert "Generate" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_pattern_funnel_filter_pushed_before_shuffle(q):
+    """§2.U u4: the funnel-type filter must reach the parquet scan
+    (PushedFilters carries event_type), so the user-window shuffle moves
+    only funnel events; one hash exchange powers both lead() columns."""
+    plan = full_explain(q("q_pattern_funnel_strict"))
+    phys = physical_plan(q("q_pattern_funnel_strict"))
+    assert "event_type" in "".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ), plan
+    assert phys.count("Exchange hashpartitioning") <= 2, phys  # window + distinct agg
+    assert "Window" in phys, phys
+
+
+def test_weighted_median_windows_distinct_values_only(q):
+    """§2.U u2: the cumulative-weight window runs AFTER the (flag, cents)
+    pre-aggregate — partial→final HashAggregate below the Window — so
+    the sort covers distinct prices, not raw rows, and no join exists."""
+    phys = physical_plan(q("q_weighted_median"))
+    assert phys.count("HashAggregate") >= 2, phys
+    assert "Window" in phys, phys
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys, phys

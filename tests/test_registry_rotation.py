@@ -37,11 +37,10 @@ def test_rounds_4_to_10_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
     cover every registered key: after round 10 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
-    and the three-key _TAIL2 overflow — operators.attribution's
-    q_attribution_multitouch / q_attribution_lag /
-    q_attribution_time_decay, keys #51..#53 in the round-9 order — leads
-    round 10, per registry.py's round-10 amendment comment) has appeared
-    in a driver CORRECTNESS sample."""
+    and the _TAIL2 overflow — attribution's three keys (#51..#53 in the
+    round-9 order) plus the round-9 quality/analytics2 additions
+    (#54..#65) — leads round 10, per registry.py's round-10 amendment
+    comment) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -63,13 +62,17 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     """Re-confirmation rounds: every round ≥ 10 must reuse one of the five
     pinned round-5..9 orders (cycling), so each key re-greens once per 5
     rounds and no future window escapes an existing presample."""
-    attr = f"{registry._PKG}.operators.attribution"
+    overflow = (
+        f"{registry._PKG}.operators.attribution",
+        f"{registry._PKG}.operators.quality",
+        f"{registry._PKG}.operators.analytics2",
+    )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0:
-            # the round-5 cycle slot leads with the _TAIL2 overflow module
-            assert registry._module_order(rnd) == (attr,) + tuple(
-                m for m in base if m != attr
+            # the round-5 cycle slot leads with the _TAIL2 overflow modules
+            assert registry._module_order(rnd) == overflow + tuple(
+                m for m in base if m not in overflow
             )
         else:
             assert registry._module_order(rnd) == base
@@ -91,10 +94,13 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 53 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
-    # round 10's overflow lead takes the three attribution keys (#51..#53)
+    # 65 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # round 10's overflow lead takes attribution (#51..#53) plus the
+    # round-9 quality/analytics2 additions (#54..#65)
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
+    assert "q_expect_ranges" in set(_first50(10))
+    assert "q_join_point_in_interval" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():

@@ -71,6 +71,9 @@ PORTABLE_KEYS = sorted(
         "q_upsert_latest",
         "q_agg_zscore_outliers",
         "q_graph_triangles",
+        # round-9: division-free oracles (no DuckDB `//`, no epoch_us)
+        "q_dup_key_audit",
+        "q_weighted_median",
     ]
 )
 
