@@ -444,3 +444,280 @@ def q_join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_percentile_cont_exact",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY floor(l_extendedprice * 100 + 0.5))
+               - 1 AS idx
+      FROM lineitem
+    ), n AS (
+      SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+    ), p AS (
+      SELECT n.l_returnflag, pct, n.n,
+             ((n.n - 1) * pct) // 100 AS lo_idx,
+             ((n.n - 1) * pct) % 100 AS frac
+      FROM n CROSS JOIN (SELECT unnest([25, 50, 75]) AS pct)
+    )
+    SELECT p.l_returnflag, CAST(p.pct AS INT) AS pct,
+           CAST(lo.cents * 100
+                + (hi.cents - lo.cents) * p.frac AS BIGINT) AS value_e2c
+    FROM p
+    JOIN v lo ON lo.l_returnflag = p.l_returnflag AND lo.idx = p.lo_idx
+    JOIN v hi ON hi.l_returnflag = p.l_returnflag
+             AND hi.idx = least(p.lo_idx + 1, p.n - 1)
+    ORDER BY 1, 2
+    """,
+)
+def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.U u8 — EXACT linearly-interpolated percentiles (the SQL
+    percentile_cont / numpy type-7 definition) in pure integers: per
+    return flag, the price quartiles as hundredths of a cent —
+    ``lo·100 + (hi − lo)·frac`` where the rank position (n−1)·p/100
+    splits into integer index and hundredths remainder. The built-in
+    percentile_cont interpolates in floats (engine-divergent on ties
+    near representation boundaries); this spelling is bit-identical
+    everywhere. Duplicate prices make the order statistic well-defined
+    regardless of row_number tie order — equal values at a position
+    give equal cents.
+
+    Scale: one window sort per flag ranks the values (same cost as any
+    exact percentile); the three quartile positions join back by
+    (flag, idx) equi joins against a |flags|·3-row broadcast side — no
+    second sort, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr(_CENTS.format(col="l_extendedprice")).alias("cents"),
+    ).withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cents")
+        )
+        - 1,
+    )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    pcts = n.crossJoin(
+        F.broadcast(
+            n.sparkSession.createDataFrame([(25,), (50,), (75,)], "pct INT")
+        )
+    ).select(
+        F.col("l_returnflag").alias("p_flag"),
+        "pct",
+        "n",
+        F.expr("((n - 1) * pct) div 100").alias("lo_idx"),
+        F.expr("((n - 1) * pct) % 100").alias("frac"),
+    )
+    lo = v.select(
+        F.col("l_returnflag").alias("lo_flag"),
+        F.col("idx").alias("lo_i"),
+        F.col("cents").alias("lo_cents"),
+    )
+    hi = v.select(
+        F.col("l_returnflag").alias("hi_flag"),
+        F.col("idx").alias("hi_i"),
+        F.col("cents").alias("hi_cents"),
+    )
+    return (
+        pcts.join(
+            lo,
+            (F.col("p_flag") == F.col("lo_flag")) & (F.col("lo_i") == F.col("lo_idx")),
+        )
+        .join(
+            hi,
+            (F.col("p_flag") == F.col("hi_flag"))
+            & (F.col("hi_i") == F.least(F.col("lo_idx") + 1, F.col("n") - 1)),
+        )
+        .select(
+            F.col("p_flag").alias("l_returnflag"),
+            "pct",
+            (
+                F.col("lo_cents") * 100
+                + (F.col("hi_cents") - F.col("lo_cents")) * F.col("frac")
+            )
+            .cast("long")
+            .alias("value_e2c"),
+        )
+        .orderBy("l_returnflag", "pct")
+    )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.U u9 — EXACT distinct counting via Spark 4 bitmap aggregates:
+    per event type, distinct users computed as a two-level roll-up —
+    users bucket into 32k-bit bitmap segments (bitmap_bucket_number),
+    each (type, bucket) partial OR-aggregates its bit positions
+    map-side, and the final count sums bitmap_count over buckets. The
+    result is EXACTLY count(DISTINCT user_id) (the oracle) — but unlike
+    count(DISTINCT), the aggregation state is mergeable fixed-size
+    bitmaps instead of a per-key hash set, the shape that survives
+    billions of users per group: state is O(id_range/32k) segments,
+    partials combine by OR, and no expand/re-shuffle of raw ids occurs.
+
+    Scale: two partial-aggregated groupBys, both mergeable; the raw-id
+    shuffle of a naive count(DISTINCT) is replaced by shipping OR-able
+    bitmap segments. For sparse id spaces beyond memory, the HLL key
+    (d3) is the lossy fallback; this is the exact one."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = (
+        ev.select("event_type", "user_id")
+        .groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+        )
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_topk_movers",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+               AS week,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4
+      FROM lineitem GROUP BY 1, 2
+    ), d AS (
+      SELECT l_partkey, week, rev_e4,
+             lag(rev_e4) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_e4,
+             lag(week) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_week
+      FROM wk
+    )
+    SELECT l_partkey, CAST(week AS BIGINT) AS week,
+           CAST(rev_e4 AS BIGINT) AS rev_e4,
+           CAST(prev_e4 AS BIGINT) AS prev_e4,
+           CAST(rev_e4 - prev_e4 AS BIGINT) AS delta_e4
+    FROM d
+    WHERE prev_week = week - 1
+    ORDER BY abs(rev_e4 - prev_e4) DESC, l_partkey, week
+    LIMIT 10
+    """,
+)
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.U u10 — week-over-week top movers: weekly discount revenue per
+    part (exact integer e4 units — the exactmath spelling), deltas only
+    between CONSECUTIVE weeks (a gap week yields no comparison rather
+    than a bogus multi-week delta), global top-10 by absolute swing with
+    the (part, week) tiebreak so the cut is deterministic.
+
+    Scale: groupBy (part, week) partial-aggregates map-side; the lag
+    window sorts within part (tiny per-part series); the global top-10
+    lowers to TakeOrderedAndProject — per-partition top-10s merge on
+    the driver, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = (
+        li.select(
+            "l_partkey",
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 7"
+            ).alias("week"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)"
+            ).alias("rev_term"),
+        )
+        .groupBy("l_partkey", "week")
+        .agg(F.sum("rev_term").alias("rev_e4"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("week")
+    d = wk.select(
+        "l_partkey",
+        "week",
+        "rev_e4",
+        F.lag("rev_e4").over(w).alias("prev_e4"),
+        F.lag("week").over(w).alias("prev_week"),
+    ).filter(F.col("prev_week") == F.col("week") - 1)
+    return (
+        d.select(
+            "l_partkey",
+            F.col("week").cast("long").alias("week"),
+            F.col("rev_e4").cast("long").alias("rev_e4"),
+            F.col("prev_e4").cast("long").alias("prev_e4"),
+            (F.col("rev_e4") - F.col("prev_e4")).cast("long").alias("delta_e4"),
+        )
+        .orderBy(
+            F.abs(F.col("delta_e4")).desc(), "l_partkey", "week"
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "q_backlog_aging",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+    ), aged AS (
+      SELECT CASE
+               WHEN datediff('day', CAST(o_orderdate AS DATE), mx.max_d) <= 90
+                 THEN '0-90d'
+               WHEN datediff('day', CAST(o_orderdate AS DATE), mx.max_d) <= 180
+                 THEN '091-180d'
+               WHEN datediff('day', CAST(o_orderdate AS DATE), mx.max_d) <= 365
+                 THEN '181-365d'
+               ELSE '365d+'
+             END AS age_bucket,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders, mx WHERE o_orderstatus = 'O'
+    )
+    SELECT age_bucket, count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM aged GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.U u11 — open-order backlog aging: orders still open (status
+    'O') bucketed by age against the snapshot's newest order date —
+    order counts and exact-cents exposure per aging band, the
+    receivables report every order warehouse runs.
+
+    Scale: the as-of date is a 1-row max aggregate broadcast against the
+    filtered fact (the adjudicated 1-row-BNLJ pattern, same as d19/q22);
+    the status filter pushes to the scan; one |buckets|-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.expr("max(CAST(o_orderdate AS DATE))").alias("max_d"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "CASE WHEN datediff(max_d, CAST(o_orderdate AS DATE)) <= 90"
+                " THEN '0-90d'"
+                " WHEN datediff(max_d, CAST(o_orderdate AS DATE)) <= 180"
+                " THEN '091-180d'"
+                " WHEN datediff(max_d, CAST(o_orderdate AS DATE)) <= 365"
+                " THEN '181-365d' ELSE '365d+' END"
+            ).alias("age_bucket"),
+            F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
+        )
+    )
+    return (
+        aged.groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("age_bucket")
+    )

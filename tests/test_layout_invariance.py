@@ -71,6 +71,11 @@ HARDENED = (
     "q_gini_impurity",
     "q_distinct_kmv",
     "q_win_range_frame",
+    # round-9 second batch: integer-interpolated percentiles, exact-e4
+    # weekly deltas under a deterministic top-k cut, exact-cents aging
+    "q_percentile_cont_exact",
+    "q_topk_movers",
+    "q_backlog_aging",
 )
 
 

@@ -440,6 +440,8 @@ _BNLJ_ALLOWED = {
     "q_graph_degree_distribution",  # 1-row node-count total vs ≤64 buckets
     "q_tcloseness_audit",  # 1-row corpus-total broadcast vs classes×bands
     "q_distinct_kmv",  # 1-row kth-hash agg × 1-row exact-count agg combine
+    "q_backlog_aging",  # 1-row as-of max-date broadcast vs the filtered fact
+    "q_percentile_cont_exact",  # |flags|x3-row position frame broadcast
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
     "q_subquery_in",      # acctbal ≥ scalar threshold row
@@ -1063,4 +1065,34 @@ def test_weighted_median_windows_distinct_values_only(q):
     assert phys.count("HashAggregate") >= 2, phys
     assert "Window" in phys, phys
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_bitmap_distinct_no_expand(q):
+    """§2.U u9: the bitmap roll-up must NOT plan the Expand node a naive
+    multi-distinct aggregate produces — two mergeable partial→final
+    HashAggregates (or Sort+ObjectHashAggregate for the binary state),
+    no raw-id re-shuffle beyond the (type, bucket) grouping."""
+    phys = physical_plan(q("q_bitmap_distinct"))
+    assert "Expand" not in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_topk_movers_lowers_to_take_ordered(q):
+    """§2.U u10: the global top-10 by absolute swing must lower to
+    TakeOrderedAndProject (per-partition top-10 merge), never a global
+    Sort of every (part, week) delta."""
+    phys = physical_plan(q("q_topk_movers"))
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" in phys, phys
+
+
+def test_percentile_cont_single_rank_sort(q):
+    """§2.U u8: the value ranking is ONE window sort per flag; the three
+    quartile positions join back via broadcast hash joins (the position
+    side is |flags|·3 rows), never a second sort or a nested loop."""
+    phys = physical_plan(q("q_percentile_cont_exact"))
+    assert "Window" in phys, phys
+    for bad in ("CartesianProduct",):
         assert bad not in phys, phys
