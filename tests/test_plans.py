@@ -1089,10 +1089,14 @@ def test_topk_movers_lowers_to_take_ordered(q):
 
 
 def test_percentile_cont_single_rank_sort(q):
-    """§2.U u8: the value ranking is ONE window sort per flag; the three
-    quartile positions join back via broadcast hash joins (the position
-    side is |flags|·3 rows), never a second sort or a nested loop."""
+    """§2.U u8: the CDF lowering — the fact collapses to distinct
+    (flag, cents) values through a partial→final HashAggregate BELOW the
+    one cumulative window, and the |flags|·3 position frame resolves via
+    ONE broadcast hash join; exactly one Window (never the double-sorted
+    row_number-per-join-side shape this replaced), no nested loop."""
     phys = physical_plan(q("q_percentile_cont_exact"))
-    assert "Window" in phys, phys
+    assert phys.count("Window") == 1, phys
+    assert phys.count("HashAggregate") >= 2, phys
+    assert "BroadcastHashJoin" in phys, phys
     for bad in ("CartesianProduct",):
         assert bad not in phys, phys
