@@ -92,6 +92,8 @@ _TAIL2 = (
     # round-10 overflow lead (below) gives them driver evidence.
     f"{_PKG}.operators.quality",
     f"{_PKG}.operators.analytics2",
+    f"{_PKG}.streaming.stream_extra",
+    f"{_PKG}.sources.pyds",
 )
 
 
@@ -155,18 +157,21 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 65 keys; operators.attribution's
+    # the round-9 first-50 cut (now 71 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, and the round-9
-    # additions quality/analytics2 are #54..#65), so the cycle's round-5
-    # slot (rounds 10/15/20) leads with the overflow modules before the
-    # round-5 order — giving the overflow driver evidence in round 10
-    # while rounds 11..14 keep their already-committed windows.
+    # additions quality/analytics2/stream_extra/pyds are #54..#71), so
+    # the cycle's round-5 slot (rounds 10/15/20) leads with the overflow
+    # modules before the round-5 order — giving the overflow driver
+    # evidence in round 10 while rounds 11..14 keep their
+    # already-committed windows.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         overflow = (
             f"{_PKG}.operators.attribution",
             f"{_PKG}.operators.quality",
             f"{_PKG}.operators.analytics2",
+            f"{_PKG}.streaming.stream_extra",
+            f"{_PKG}.sources.pyds",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     return base
