@@ -441,6 +441,9 @@ _BNLJ_ALLOWED = {
     "q_tcloseness_audit",  # 1-row corpus-total broadcast vs classes×bands
     "q_distinct_kmv",  # 1-row kth-hash agg × 1-row exact-count agg combine
     "q_backlog_aging",  # 1-row as-of max-date broadcast vs the filtered fact
+    "q_feat_freq_encode",   # 1-row corpus-total broadcast vs |brands| rows
+    "q_feat_cross",         # 1-row corpus-total broadcast vs |crosses| rows
+    "q_feat_rare_collapse",  # 1-row corpus-total broadcast vs the codebook
     "q_percentile_cont_exact",  # |flags|x3-row position frame broadcast
     # scalar-subquery shape: the build side is ONE row (a global threshold,
     # mean, count, or max-timestamp) broadcast against the corpus
@@ -1100,3 +1103,45 @@ def test_percentile_cont_single_rank_sort(q):
     assert "BroadcastHashJoin" in phys, phys
     for bad in ("CartesianProduct",):
         assert bad not in phys, phys
+
+
+def test_seq_purchase_context_take_ordered(q):
+    """§2.V v2: the anchored-context top-10 must lower to
+    TakeOrderedAndProject over the bounded context census — one user_id
+    window exchange plus the census aggregate, never a global Sort."""
+    phys = physical_plan(q("q_seq_purchase_context"))
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_seq_signature_single_user_exchange(q):
+    """§2.V v1: the per-user signature aggregation is ONE user_id
+    exchange — the collect_list state and the count/distinct aggregates
+    ride the same shuffle, and no join appears anywhere."""
+    phys = physical_plan(q("q_seq_user_signature"))
+    assert phys.count("Exchange hashpartitioning") <= 2, phys
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_feat_history_pit_window_no_join(q):
+    """§2.W w5: the point-in-time feature table must be a single
+    per-customer Window (cumulative frame + lag share one sort), with NO
+    join — the whole point of the window spelling is replacing the
+    correlated fact×fact subquery."""
+    phys = physical_plan(q("q_feat_history_pit"))
+    assert "Window" in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in phys, phys
+
+
+def test_feat_target_encode_broadcasts_codebook(q):
+    """§2.W w1: the LOO join-back must broadcast the |categories|-row
+    stats table onto the fact — a shuffled fact-side join here would be
+    a 100 TB regression."""
+    phys = physical_plan(q("q_feat_target_encode_loo"))
+    assert "BroadcastHashJoin" in phys, phys
+    assert "SortMergeJoin" not in phys, phys

@@ -38,8 +38,9 @@ def test_rounds_4_to_10_cover_all_keys():
     cover every registered key: after round 10 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
     and the _TAIL2 overflow — attribution's three keys (#51..#53 in the
-    round-9 order) plus the round-9 quality/analytics2 additions
-    (#54..#71) — leads round 10, per registry.py's round-10 amendment
+    round-9 order) plus the round-9 quality/analytics2/stream_extra/pyds
+    additions (#54..#71) and the second round-9 batch sequences/features
+    (#72..#84) — leads round 10, per registry.py's round-10 amendment
     comment) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -68,6 +69,8 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.analytics2",
         f"{registry._PKG}.streaming.stream_extra",
         f"{registry._PKG}.sources.pyds",
+        f"{registry._PKG}.operators.sequences",
+        f"{registry._PKG}.ml.features",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
@@ -96,15 +99,18 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 71 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
-    # round 10's overflow lead takes attribution (#51..#53) plus the
-    # round-9 quality/analytics2/stream_extra/pyds additions (#54..#71)
+    # 84 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # round 10's overflow lead takes attribution (#51..#53), the round-9
+    # quality/analytics2/stream_extra/pyds additions (#54..#71) and the
+    # second round-9 batch sequences/features (#72..#84)
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
     assert "q_join_point_in_interval" in set(_first50(10))
     assert "q_stream_sliding_topk" in set(_first50(10))
     assert "q_pyds_kvlog_scan" in set(_first50(10))
+    assert "q_seq_user_signature" in set(_first50(10))
+    assert "q_feat_target_encode_loo" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():
