@@ -100,6 +100,7 @@ _TAIL2 = (
     # presample regenerated — see the amendment comment below.
     f"{_PKG}.operators.sequences",
     f"{_PKG}.ml.features",
+    f"{_PKG}.streaming.stream_state",
 )
 
 
@@ -163,10 +164,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 84 keys; operators.attribution's
+    # the round-9 first-50 cut (now 85 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, and
-    # the second round-9 batch sequences/features is #72..#84), so the
+    # the second round-9 batch sequences/features/stream_state is #72..#85), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 11..14 keep their
@@ -181,6 +182,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.sources.pyds",
             f"{_PKG}.operators.sequences",
             f"{_PKG}.ml.features",
+            f"{_PKG}.streaming.stream_state",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     return base

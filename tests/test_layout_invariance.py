@@ -76,6 +76,18 @@ HARDENED = (
     "q_percentile_cont_exact",
     "q_topk_movers",
     "q_backlog_aging",
+    # round-9 third batch — sequence mining: the ordered collect_list
+    # signature must be identical on any scan split (array_sort pins it),
+    # and the bp rates are truncating-div integers; feature engineering:
+    # the LOO/odds codebooks and the strictly-preceding PIT frame must
+    # not depend on partition layout
+    "q_seq_user_signature",
+    "q_seq_error_recovery",
+    "q_seq_switch_rate",
+    "q_feat_target_encode_loo",
+    "q_feat_odds_smooth",
+    "q_feat_history_pit",
+    "q_feat_rare_collapse",
 )
 
 

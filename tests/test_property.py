@@ -1168,3 +1168,123 @@ def test_decay_weight_boundary_matches_python(spark, ages):
         k: (got_duck.get(k), expect.get(k))
         for k in expect if got_duck.get(k) != expect.get(k)
     }
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time history-feature fuzz (§2.W w5, round 9). The strictly-
+# preceding window frame must equal the brute-force "for each order, scan
+# every EARLIER order of the same customer" reference — including same-day
+# ties (ordered by orderkey, so a same-day earlier-key order IS prior),
+# integer-cents accumulation, and truncating integer-day gaps. This is the
+# no-leakage property the feature table exists for: a frame off by one row
+# silently trains on the future.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # custkey
+            st.integers(0, 40),         # order day offset (ties likely)
+            st.integers(1, 10**7),      # price cents
+        ),
+        min_size=1, max_size=60, unique=True,
+    ),
+)
+def test_pit_history_matches_bruteforce(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i + 1, ck, base + datetime.timedelta(days=d), cents)
+        for i, (ck, d, cents) in enumerate(sorted(rows))
+    ]
+    # brute-force reference: prior = same customer AND (earlier date OR
+    # same date with smaller orderkey)
+    expect = {}
+    for ok, ck, dt, _c in data:
+        prior = [
+            (pok, pdt, pc)
+            for pok, pck, pdt, pc in data
+            if pck == ck and (pdt < dt or (pdt == dt and pok < ok))
+        ]
+        last = max(prior, key=lambda p: (p[1], p[0]), default=None)
+        expect[ok] = (
+            len(prior),
+            sum(p[2] for p in prior),
+            None if last is None else (int((dt - last[1]).total_seconds() * 1_000_000)
+                                       // 86_400_000_000),
+        )
+    from pyspark.sql import Window
+
+    sdf = spark.createDataFrame(
+        data, "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP, cents BIGINT"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = w.rowsBetween(Window.unboundedPreceding, -1)
+    gap_us = F.unix_micros(F.col("o_orderdate")) - F.unix_micros(
+        F.lag("o_orderdate").over(w)
+    )
+    out = sdf.select(
+        "o_orderkey",
+        F.coalesce(F.count(F.lit(1)).over(h), F.lit(0)).alias("np"),
+        F.coalesce(F.sum("cents").over(h), F.lit(0)).alias("pc"),
+        gap_us.alias("gap_us"),
+    ).selectExpr("o_orderkey", "np", "pc",
+                 "CAST(gap_us div 86400000000 AS BIGINT) AS days")
+    got = {r["o_orderkey"]: (r["np"], r["pc"], r["days"]) for r in out.collect()}
+    assert got == expect, {
+        k: (got[k], expect[k]) for k in expect if got[k] != expect[k]
+    }
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target-encoding fuzz (§2.W w1, round 9). The codebook
+# `(Σy − yᵢ)·10⁴ div (n − 1)` must equal the Python reference for every
+# (category, label) pair, including categories engineered onto exact
+# basis-point boundaries (where truncation vs rounding disagree) and the
+# n == 1 exclusion (whose encoding would be 0/0).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1)),
+        min_size=1, max_size=80,
+    ),
+)
+def test_loo_encoding_matches_python(spark, rows):
+    from collections import Counter
+
+    n = Counter(g for g, _ in rows)
+    s = Counter(g for g, y in rows if y)
+    expect = {
+        (g, y): ((s[g] - y) * 10000) // (n[g] - 1)
+        for g, y in set(rows)
+        if n[g] > 1
+    }
+    sdf = spark.createDataFrame(rows, "category INT, y INT")
+    g = sdf.groupBy("category").agg(
+        F.sum("y").alias("sum_y"), F.count(F.lit(1)).alias("n_rows")
+    )
+    out = (
+        sdf.join(F.broadcast(g.filter(F.col("n_rows") > 1)), "category")
+        .selectExpr(
+            "category", "y",
+            "CAST(((sum_y - y) * 10000) div (n_rows - 1) AS BIGINT) AS loo_bp",
+        )
+        .distinct()
+    )
+    got = {(r["category"], r["y"]): r["loo_bp"] for r in out.collect()}
+    assert got == expect, {
+        k: (got.get(k), expect.get(k)) for k in set(expect) | set(got)
+        if got.get(k) != expect.get(k)
+    }

@@ -40,7 +40,7 @@ def test_rounds_4_to_10_cover_all_keys():
     and the _TAIL2 overflow — attribution's three keys (#51..#53 in the
     round-9 order) plus the round-9 quality/analytics2/stream_extra/pyds
     additions (#54..#71) and the second round-9 batch sequences/features
-    (#72..#84) — leads round 10, per registry.py's round-10 amendment
+    (#72..#85, incl. streaming.stream_state) — leads round 10, per registry.py's round-10 amendment
     comment) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -71,6 +71,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.sources.pyds",
         f"{registry._PKG}.operators.sequences",
         f"{registry._PKG}.ml.features",
+        f"{registry._PKG}.streaming.stream_state",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
@@ -99,10 +100,10 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 84 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # 85 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
     # round 10's overflow lead takes attribution (#51..#53), the round-9
     # quality/analytics2/stream_extra/pyds additions (#54..#71) and the
-    # second round-9 batch sequences/features (#72..#84)
+    # second round-9 batch sequences/features/stream_state (#72..#85)
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -111,6 +112,7 @@ def test_post_presample_tail_outside_pinned_windows():
     assert "q_pyds_kvlog_scan" in set(_first50(10))
     assert "q_seq_user_signature" in set(_first50(10))
     assert "q_feat_target_encode_loo" in set(_first50(10))
+    assert "q_stream_tws_milestones" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():

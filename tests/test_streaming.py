@@ -312,6 +312,10 @@ import pytest as _pytest
         "q_stream_stream_join",
         "q_stream_dedup",
         "q_stream_session_window",
+        # i13: the strongest cross-batch-state check — 16 chunks split
+        # users' histories across 4× more batches, and the milestone set
+        # must not move (state genuinely spans micro-batches)
+        "q_stream_tws_milestones",
     ],
 )
 def test_stream_result_invariant_to_chunk_count(spark, sf_dir, key):
