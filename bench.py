@@ -40,7 +40,10 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 # the iterative driver-loop path: q_dedup_clusters runs the large-star/
 # small-star contraction kernel to a fixpoint, so multi-round shuffle +
 # localCheckpoint cost — invisible to every one-shot query above — is
-# perf-tracked round-over-round.
+# perf-tracked round-over-round. Round 9 adds q_seq_user_signature: the
+# per-entity ordered-history materialization (collect_list + array_sort)
+# whose cost profile — aggregation-state payload, not key cardinality —
+# no other headline query exercises.
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -53,6 +56,7 @@ HEADLINE = (
     "q_dedup_lsh_join",
     "q_text_quality",
     "q_dedup_clusters",
+    "q_seq_user_signature",
 )
 
 N_SERIES = 3
@@ -101,9 +105,11 @@ def main() -> None:
     # subtotals keep round-over-round comparisons honest without changing
     # the contracted top-level fields: compare r3_comparable_7q_sec across
     # all rounds, r6_comparable_10q_sec against BENCH_r0{5,6}.json's
-    # "value", and "value" itself only from round 7 on.
+    # "value", r8_comparable_11q_sec against BENCH_r0{7,8}.json's "value",
+    # and "value" itself only from round 9 on.
     legacy_7q = round(sum(medians[n] for n in HEADLINE[:7]), 3)
     legacy_10q = round(sum(medians[n] for n in HEADLINE[:10]), 3)
+    legacy_11q = round(sum(medians[n] for n in HEADLINE[:11]), 3)
     print(
         json.dumps(
             {
@@ -115,6 +121,7 @@ def main() -> None:
                 "runs": runs,
                 "r3_comparable_7q_sec": legacy_7q,
                 "r6_comparable_10q_sec": legacy_10q,
+                "r8_comparable_11q_sec": legacy_11q,
             }
         )
     )
