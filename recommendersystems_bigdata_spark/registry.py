@@ -101,6 +101,11 @@ _TAIL2 = (
     f"{_PKG}.operators.sequences",
     f"{_PKG}.ml.features",
     f"{_PKG}.streaming.stream_state",
+    # Round-9 third batch (after the second r10 presample refresh):
+    # document search / retrieval (§2.X). Appended last so no committed
+    # r9/r11..r13 window moves; joins the round-10 overflow lead (the r10
+    # presample is regenerated alongside this amendment).
+    f"{_PKG}.ml.search",
 )
 
 
@@ -164,10 +169,11 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 85 keys; operators.attribution's
+    # the round-9 first-50 cut (now 90 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
-    # additions quality/analytics2/stream_extra/pyds are #54..#71, and
-    # the second round-9 batch sequences/features/stream_state is #72..#85), so the
+    # additions quality/analytics2/stream_extra/pyds are #54..#71, the
+    # second round-9 batch sequences/features/stream_state is #72..#85,
+    # and the third batch ml.search is #86..#90), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 11..14 keep their
@@ -183,6 +189,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.operators.sequences",
             f"{_PKG}.ml.features",
             f"{_PKG}.streaming.stream_state",
+            f"{_PKG}.ml.search",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     return base

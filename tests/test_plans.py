@@ -461,6 +461,8 @@ _BNLJ_ALLOWED = {
     "q_rolling_active_users",  # day spine bounded by (dmin, dmax) row
     "q_knn_label_vote",   # fixed 20-query set broadcast vs candidates
     "q_curate_dedup_sensitivity",  # 4-row threshold table broadcast
+    "q_search_postings",  # 1-row corpus doc-count broadcast vs |vocab| rows
+    "q_search_bm25ish",   # 1-row (avgdl, n_docs) corpus-stats broadcast
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1145,3 +1147,41 @@ def test_feat_target_encode_broadcasts_codebook(q):
     phys = physical_plan(q("q_feat_target_encode_loo"))
     assert "BroadcastHashJoin" in phys, phys
     assert "SortMergeJoin" not in phys, phys
+
+
+def test_search_boolean_and_phrase_zero_shuffle_scan(q):
+    """§2.X x2/x3: boolean retrieval and positional phrase search must be
+    zero-shuffle scans — per-doc term frequencies / adjacent-pair counts
+    are array HOFs evaluated map-side; the only allowed exchange is the
+    final ordering of the selectivity-bounded hit set (rangepartitioning),
+    never a hash shuffle, join, or token explode."""
+    for key in ("q_search_boolean", "q_search_phrase"):
+        phys = physical_plan(q(key))
+        assert "Exchange hashpartitioning" not in phys, phys
+        assert "Generate" not in phys, phys  # no explode: HOFs only
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in phys, phys
+
+
+def test_search_topk_filters_terms_before_shuffle(q):
+    """§2.X x4: the query-term filter must run BEFORE the (doc, term)
+    partial aggregate — the exchanged relation is bounded by hits for the
+    query's terms, not corpus tokens. The filter therefore sits under the
+    first Exchange in the plan tree (on the Generate side)."""
+    phys = physical_plan(q("q_search_topk_per_term"))
+    first_exchange = phys.index("Exchange hashpartitioning")
+    gen = phys.index("Generate")
+    deepest_filter = phys.rindex("Filter")
+    assert gen > first_exchange and deepest_filter > first_exchange, phys
+
+
+def test_search_bm25_broadcasts_stats_no_fact_join(q):
+    """§2.X x5: df and corpus stats must broadcast back onto the
+    hit-bounded tf relation (document length rides the partial agg as a
+    group key) — no sort-merge join anywhere, and the only
+    nested-loop is the adjudicated 1-row corpus-stats cross join."""
+    phys = physical_plan(q("q_search_bm25ish"))
+    assert "SortMergeJoin" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "TakeOrderedAndProject" in phys, phys

@@ -72,6 +72,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.sequences",
         f"{registry._PKG}.ml.features",
         f"{registry._PKG}.streaming.stream_state",
+        f"{registry._PKG}.ml.search",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
