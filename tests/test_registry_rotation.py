@@ -73,6 +73,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.ml.features",
         f"{registry._PKG}.streaming.stream_state",
         f"{registry._PKG}.ml.search",
+        f"{registry._PKG}.operators.rankstats",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
@@ -101,10 +102,11 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 85 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # 95 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
     # round 10's overflow lead takes attribution (#51..#53), the round-9
-    # quality/analytics2/stream_extra/pyds additions (#54..#71) and the
-    # second round-9 batch sequences/features/stream_state (#72..#85)
+    # quality/analytics2/stream_extra/pyds additions (#54..#71), the
+    # second round-9 batch sequences/features/stream_state (#72..#85),
+    # the search suite (#86..#90) and the rankstats suite (#91..#95)
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -114,6 +116,9 @@ def test_post_presample_tail_outside_pinned_windows():
     assert "q_seq_user_signature" in set(_first50(10))
     assert "q_feat_target_encode_loo" in set(_first50(10))
     assert "q_stream_tws_milestones" in set(_first50(10))
+    assert "q_search_postings" in set(_first50(10))
+    assert "q_ranks_mannwhitney" in set(_first50(10))
+    assert "q_ranks_wilcoxon" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():
