@@ -106,10 +106,12 @@ _TAIL2 = (
     # r9/r11..r13 window moves; joins the round-10 overflow lead (the r10
     # presample is regenerated alongside this amendment).
     f"{_PKG}.ml.search",
-    # Round-9 fourth batch: nonparametric rank statistics (§2.Y). Same
-    # discipline — appended last, joins the round-10 overflow lead, r10
-    # presample regenerated alongside.
+    # Round-9 fourth batch: nonparametric rank statistics (§2.Y) and
+    # recursive/hierarchical queries (§2.Z). Same discipline — appended
+    # last, join the round-10 overflow lead, r10 presample regenerated
+    # alongside.
     f"{_PKG}.operators.rankstats",
+    f"{_PKG}.operators.recursive",
 )
 
 
@@ -173,12 +175,12 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 95 keys; operators.attribution's
+    # the round-9 first-50 cut (now 99 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
     # the third batch ml.search is #86..#90, and the fourth batch
-    # operators.rankstats is #91..#95), so the
+    # operators.rankstats + operators.recursive is #91..#99), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 11..14 keep their
@@ -196,6 +198,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.streaming.stream_state",
             f"{_PKG}.ml.search",
             f"{_PKG}.operators.rankstats",
+            f"{_PKG}.operators.recursive",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     return base

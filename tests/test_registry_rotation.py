@@ -74,6 +74,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.streaming.stream_state",
         f"{registry._PKG}.ml.search",
         f"{registry._PKG}.operators.rankstats",
+        f"{registry._PKG}.operators.recursive",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
@@ -102,11 +103,12 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 95 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # 99 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
     # round 10's overflow lead takes attribution (#51..#53), the round-9
     # quality/analytics2/stream_extra/pyds additions (#54..#71), the
     # second round-9 batch sequences/features/stream_state (#72..#85),
-    # the search suite (#86..#90) and the rankstats suite (#91..#95)
+    # the search suite (#86..#90), the rankstats suite (#91..#95) and
+    # the recursive suite (#96..#99) — 49 overflow keys, still ≤ 50
     assert tail2_keys <= set(_first50(9)) | set(_first50(10))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -119,6 +121,8 @@ def test_post_presample_tail_outside_pinned_windows():
     assert "q_search_postings" in set(_first50(10))
     assert "q_ranks_mannwhitney" in set(_first50(10))
     assert "q_ranks_wilcoxon" in set(_first50(10))
+    assert "q_rec_hierarchy_levels" in set(_first50(10))
+    assert "q_rec_month_spine" in set(_first50(10))
 
 
 def test_progress_round_parse_is_safe():
