@@ -106,12 +106,15 @@ _TAIL2 = (
     # r9/r11..r13 window moves; joins the round-10 overflow lead (the r10
     # presample is regenerated alongside this amendment).
     f"{_PKG}.ml.search",
-    # Round-9 fourth batch: nonparametric rank statistics (§2.Y) and
-    # recursive/hierarchical queries (§2.Z). Same discipline — appended
-    # last, join the round-10 overflow lead, r10 presample regenerated
-    # alongside.
+    # Round-9 fourth batch: nonparametric rank statistics (§2.Y),
+    # recursive/hierarchical queries (§2.Z) and the fifth batch:
+    # time-series diagnostics (§2.AA, operators.tsdiag — NOT the legacy
+    # operators.timeseries hypertable module above). Same discipline —
+    # appended last, join the round-10 overflow lead, r10 presample
+    # regenerated alongside.
     f"{_PKG}.operators.rankstats",
     f"{_PKG}.operators.recursive",
+    f"{_PKG}.operators.tsdiag",
 )
 
 
@@ -175,16 +178,22 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 99 keys; operators.attribution's
+    # the round-9 first-50 cut (now 104 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
-    # the third batch ml.search is #86..#90, and the fourth batch
-    # operators.rankstats + operators.recursive is #91..#99), so the
+    # the third batch ml.search is #86..#90, the fourth batch
+    # operators.rankstats + operators.recursive is #91..#99, and the
+    # fifth batch operators.tsdiag is #100..#104), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
-    # evidence in round 10 while rounds 11..14 keep their
-    # already-committed windows.
+    # evidence in round 10 while rounds 12..14 keep their
+    # already-committed windows. Second amendment (late round 9): the
+    # overflow itself outgrew the 50-key window at 54 keys — the last 4
+    # tsdiag keys fall past round 10's first-50 cut — so the
+    # round-6 slot (rounds 11/16) leads with operators.tsdiag (5
+    # keys) before the round-6 order; the r11 presample pair is
+    # regenerated alongside this amendment.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         overflow = (
@@ -199,8 +208,12 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.ml.search",
             f"{_PKG}.operators.rankstats",
             f"{_PKG}.operators.recursive",
+            f"{_PKG}.operators.tsdiag",
         )
         return overflow + tuple(m for m in base if m not in overflow)
+    if (rnd - 10) % 5 == 1:
+        lead = (f"{_PKG}.operators.tsdiag",)
+        return lead + tuple(m for m in base if m not in lead)
     return base
 
 

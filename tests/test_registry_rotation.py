@@ -33,15 +33,15 @@ def test_rotation_orders_are_permutations():
         assert set(order) == all_mods, f"round {rnd} drops a module"
 
 
-def test_rounds_4_to_10_cover_all_keys():
+def test_rounds_4_to_11_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
-    cover every registered key: after round 10 every §2 operator (the
+    cover every registered key: after round 11 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
-    and the _TAIL2 overflow — attribution's three keys (#51..#53 in the
-    round-9 order) plus the round-9 quality/analytics2/stream_extra/pyds
-    additions (#54..#71) and the second round-9 batch sequences/features
-    (#72..#85, incl. streaming.stream_state) — leads round 10, per registry.py's round-10 amendment
-    comment) has appeared in a driver CORRECTNESS sample."""
+    the _TAIL2 overflow — attribution's three keys (#51..#53 in the
+    round-9 order) plus every later round-9 batch — leads round 10, and
+    the 4 overflow keys past round 10's own 50-key cut are picked up by
+    round 11's tsdiag lead, per registry.py's two amendment
+    comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -53,7 +53,7 @@ def test_rounds_4_to_10_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -75,13 +75,21 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.ml.search",
         f"{registry._PKG}.operators.rankstats",
         f"{registry._PKG}.operators.recursive",
+        f"{registry._PKG}.operators.tsdiag",
     )
+    ts_lead = (f"{registry._PKG}.operators.tsdiag",)
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0:
             # the round-5 cycle slot leads with the _TAIL2 overflow modules
             assert registry._module_order(rnd) == overflow + tuple(
                 m for m in base if m not in overflow
+            )
+        elif (rnd - 10) % 5 == 1:
+            # the round-6 slot leads with the overflow's own overflow:
+            # the tsdiag keys past round 10's first-50 cut
+            assert registry._module_order(rnd) == ts_lead + tuple(
+                m for m in base if m not in ts_lead
             )
         else:
             assert registry._module_order(rnd) == base
@@ -103,13 +111,14 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 99 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # 104 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
     # round 10's overflow lead takes attribution (#51..#53), the round-9
     # quality/analytics2/stream_extra/pyds additions (#54..#71), the
     # second round-9 batch sequences/features/stream_state (#72..#85),
-    # the search suite (#86..#90), the rankstats suite (#91..#95) and
-    # the recursive suite (#96..#99) — 49 overflow keys, still ≤ 50
-    assert tail2_keys <= set(_first50(9)) | set(_first50(10))
+    # the search suite (#86..#90), the rankstats suite (#91..#95), the
+    # recursive suite (#96..#99) and the tsdiag head (#100) — the 4
+    # tsdiag keys past that 50-key cut lead round 11 instead
+    assert tail2_keys <= set(_first50(9)) | set(_first50(10)) | set(_first50(11))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
     assert "q_join_point_in_interval" in set(_first50(10))
@@ -123,6 +132,14 @@ def test_post_presample_tail_outside_pinned_windows():
     assert "q_ranks_wilcoxon" in set(_first50(10))
     assert "q_rec_hierarchy_levels" in set(_first50(10))
     assert "q_rec_month_spine" in set(_first50(10))
+    assert "q_ts_autocorr" in set(_first50(10))
+    for k in (
+        "q_ts_cusum_changepoint",
+        "q_ts_seasonality",
+        "q_ts_drawdown",
+        "q_ts_growth_streaks",
+    ):
+        assert k in set(_first50(11)), k
 
 
 def test_progress_round_parse_is_safe():
