@@ -34,9 +34,9 @@ Spark-first shape, sized for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from recommendersystems_bigdata_spark.catalog import register_views
+from recommendersystems_bigdata_spark.catalog import load_table, register_views
 from recommendersystems_bigdata_spark.registry import query
 
 # shared hierarchy closure: (node k, its root, depth from root), exact
@@ -148,22 +148,30 @@ def q_rec_path_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     '/'-joined key string plus its length — the breadcrumb query every
     category tree serves.
 
-    Scale: the recursion runs on a CONSTANT 20-row frontier (the anchor
-    is a TakeOrderedAndProject top-k); each of the ≤ log₁₀(maxkey)
-    iterations is pure arithmetic on those 20 rows — no join against the
-    fact at all after the anchor. Path text is integer-rendered
-    identically by both engines."""
+    Scale: the anchor is materialized FIRST as a TakeOrderedAndProject
+    top-k (per-partition top-20 + driver merge — no global sort; a
+    plain `ORDER BY ... LIMIT` anchor inside the UnionLoop plans as a
+    corpus-wide Sort in Spark 4.1, which is exactly the 100 TB plan we
+    refuse) and pinned with a 20-row localCheckpoint, so the recursion
+    runs on a CONSTANT 20-row frontier with NO table scan inside the
+    loop; each of the ≤ log₁₀(maxkey) iterations is pure arithmetic on
+    those 20 rows (plan-asserted in tests/test_plans.py). Path text is
+    integer-rendered identically by both engines."""
     register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    anchor = (
+        cust.orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(20)
+        .select(F.col("c_custkey").alias("start_k"))
+        .localCheckpoint()  # 20 rows, eager: TakeOrdered runs once, here
+    )
+    anchor.createOrReplaceTempView("top20_anchor")
     # Spark spells string concat with concat(); keep the oracle's ||
     # spelling DuckDB-side only.
     sql = """
-    WITH RECURSIVE top20 AS (
-      SELECT c_custkey AS start_k
-      FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20
-    ),
-    walk(start_k, cur, path, steps) AS (
+    WITH RECURSIVE walk(start_k, cur, path, steps) AS (
       SELECT start_k, start_k, CAST(start_k AS STRING), CAST(1 AS BIGINT)
-      FROM top20
+      FROM top20_anchor
       UNION ALL
       SELECT start_k, cur div 10,
              concat(CAST(cur div 10 AS STRING), '/', path), steps + 1
@@ -209,20 +217,28 @@ def q_rec_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: recursion depth is the calendar span in months — data-size
     independent (a 1-row frontier per iteration); the only corpus-sized
-    work is the month-bucketed partial-aggregated groupBy; the
+    work is the month-bucketed partial-aggregated groupBy plus ONE
+    min/max pass for the bounds. The bounds are materialized FIRST with
+    a 1-row localCheckpoint: an inline `bounds` CTE lands INSIDE the
+    UnionLoop's recursive term in Spark 4.1, re-scanning orders for
+    `hi` on every one of the ~|months| iterations — the exact 100 TB
+    plan this refuses (plan-asserted in tests/test_plans.py). The
     spine⋈aggregate join is |months| vs |months| rows."""
     register_views(spark, sf_dir)
+    bounds = spark.sql(
+        """
+        SELECT date_trunc('MONTH', min(CAST(o_orderdate AS TIMESTAMP))) AS lo,
+               date_trunc('MONTH', max(CAST(o_orderdate AS TIMESTAMP))) AS hi
+        FROM orders
+        """
+    ).localCheckpoint()  # 1 row, eager: the min/max scan runs once, here
+    bounds.createOrReplaceTempView("spine_bounds")
     return spark.sql(
         """
-        WITH RECURSIVE bounds AS (
-          SELECT date_trunc('MONTH', min(CAST(o_orderdate AS TIMESTAMP))) AS lo,
-                 date_trunc('MONTH', max(CAST(o_orderdate AS TIMESTAMP))) AS hi
-          FROM orders
-        ),
-        spine(m) AS (
-          SELECT lo FROM bounds
+        WITH RECURSIVE spine(m) AS (
+          SELECT lo FROM spine_bounds
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < hi
+          SELECT m + INTERVAL 1 MONTH FROM spine, spine_bounds WHERE m < hi
         ),
         per_month AS (
           SELECT date_trunc('MONTH', CAST(o_orderdate AS TIMESTAMP)) AS m,

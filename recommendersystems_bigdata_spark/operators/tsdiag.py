@@ -27,7 +27,11 @@ Spark-first shape, sized for 100 TB:
   groupBy to a calendar-bounded relation (<= |months| or |days| rows —
   thousands at any corpus size). That map-side-combined aggregation is
   the only full-data exchange; it is the cost floor any aggregation
-  pays.
+  pays. The collapsed series is pinned with a localCheckpoint, because
+  Catalyst does not deduplicate common subplans: every downstream
+  branch (totals, deviations, pair joins) would otherwise re-scan and
+  re-aggregate the fact — exactly one fact pass per query, asserted in
+  tests/test_plans.py.
 - All ordered windows (running sums, running max, lag diffs, islands)
   run over the calendar-bounded series — a single in-memory partition by
   construction, NOT a scalability term. The 1-row totals join is a
@@ -67,7 +71,13 @@ idxd AS (
 def _monthly_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(t, yr, mo, c): observed monthly order counts, t = 1..n in time
     order. One map-side-combined groupBy over orders; the row_number
-    window runs over the |months|-row aggregate, never the fact."""
+    window runs over the |months|-row aggregate, never the fact. The
+    result is pinned with a localCheckpoint: Catalyst does NOT reuse
+    common subplans, so without it every downstream branch (totals,
+    deviations, denominator, pair join) would re-scan and re-aggregate
+    the fact table — aa1 planned SIX orders scans. The checkpoint is
+    |months| rows and caps every query here at exactly one fact pass
+    (plan-asserted in tests/test_plans.py)."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.year("o_orderdate").cast("long").alias("yr"),
@@ -78,7 +88,7 @@ def _monthly_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         "mo",
         "c",
-    )
+    ).localCheckpoint()
 
 
 @query(
@@ -238,7 +248,7 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_CENTS.format(col="o_totalprice")))
         .cast("long")
         .alias("revenue_cents"),
-    )
+    ).localCheckpoint()  # 12 rows; the totals branch must not re-scan orders
     tot = bym.agg(F.sum("n_orders").cast("long").alias("total"))
     return (
         bym.crossJoin(F.broadcast(tot))
@@ -299,7 +309,7 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(signed * F.expr(_CENTS.format(col="l_extendedprice")))
         .cast("long")
         .alias("net_cents")
-    )
+    ).localCheckpoint()  # |ship days| rows; n_days branch must not re-scan
     w = Window.orderBy("day")
     cum = daily.select(
         "day", F.sum("net_cents").over(w).cast("long").alias("cum_cents")

@@ -88,6 +88,15 @@ HARDENED = (
     "q_feat_odds_smooth",
     "q_feat_history_pit",
     "q_feat_rare_collapse",
+    # round-9 fourth/fifth batches — recursive closure rollups (the
+    # UnionLoop's union order must not leak into the exact-cent sums)
+    # and the time-series diagnostics (integer ACF/CUSUM/drawdown sums
+    # and truncating-div bp must be scan-split-blind)
+    "q_rec_hierarchy_levels",
+    "q_rec_subtree_rollup",
+    "q_ts_autocorr",
+    "q_ts_cusum_changepoint",
+    "q_ts_drawdown",
 )
 
 

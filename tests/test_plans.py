@@ -463,6 +463,19 @@ _BNLJ_ALLOWED = {
     "q_curate_dedup_sensitivity",  # 4-row threshold table broadcast
     "q_search_postings",  # 1-row corpus doc-count broadcast vs |vocab| rows
     "q_search_bm25ish",   # 1-row (avgdl, n_docs) corpus-stats broadcast
+    # §2.AA: 1-row totals / 6-row lag list broadcast against the
+    # checkpointed calendar-bounded series (≤ |months| / |ship days|)
+    "q_ts_autocorr",
+    "q_ts_cusum_changepoint",
+    "q_ts_seasonality",
+    "q_ts_drawdown",
+    # §2.Y: 1-row group totals and the 1-row grand-median row (selected
+    # by the c >= (n+1) div 2 theta probe) broadcast against the
+    # cent-GRID-bounded distinct-value relation — never against the fact
+    "q_ranks_mannwhitney",
+    "q_ranks_kendall_binned",
+    "q_ranks_ks_distance",
+    "q_ranks_median_test",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1185,3 +1198,68 @@ def test_search_bm25_broadcasts_stats_no_fact_join(q):
     assert "SortMergeJoin" not in phys, phys
     assert "BroadcastHashJoin" in phys, phys
     assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_recursive_closure_partial_aggregates_no_nested_loop(q):
+    """§2.Z z1/z2: the recursive closure must execute as a UnionLoop whose
+    per-level rollup partial-aggregates before the exchange, with no
+    nested-loop/cartesian operator anywhere — each iteration is an
+    equi-join of the child relation against the frontier on the parent
+    key, and the closure collapses map-side."""
+    for key in ("q_rec_hierarchy_levels", "q_rec_subtree_rollup"):
+        phys = physical_plan(q(key))
+        assert "UnionLoop" in phys, phys
+        assert "partial_" in phys, phys  # map-side combine on the closure
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in phys, phys
+
+
+def test_recursive_path_anchor_outside_loop(q):
+    """§2.Z z3: the top-20 anchor must be materialized BEFORE the
+    recursion (TakeOrdered + 20-row localCheckpoint), so the UnionLoop
+    contains NO table scan — a plain ORDER BY ... LIMIT anchor inside the
+    loop plans as a corpus-wide global Sort in Spark 4.1, the exact plan
+    this pin refuses at 100 TB."""
+    phys = physical_plan(q("q_rec_path_to_root"))
+    assert "UnionLoop" in phys, phys
+    assert "parquet" not in phys, phys  # no fact scan inside the recursion
+    assert "Sort [c_acctbal" not in phys, phys  # no global sort smuggled back
+
+
+def test_tsdiag_single_fact_pass(q):
+    """§2.AA aa1/aa2/aa4: the fact table is collapsed ONCE into the
+    checkpointed calendar-bounded series (Catalyst does not reuse common
+    subplans — without the checkpoint aa1 planned SIX orders scans), so
+    the final plan must contain NO parquet scan and NO fact-sized hash
+    exchange at all: every operator downstream runs on the |months| /
+    |ship days| LocalTableScan, broadcast or single-partition."""
+    for key in ("q_ts_autocorr", "q_ts_cusum_changepoint", "q_ts_drawdown"):
+        phys = physical_plan(q(key))
+        assert "parquet" not in phys, (key, phys)
+        # aa1 keeps ONE hash exchange: the 6-key final aggregate of the
+        # |months|x6 pair join — series-sized, not fact-sized
+        allowed = 1 if key == "q_ts_autocorr" else 0
+        assert phys.count("Exchange hashpartitioning") <= allowed, (key, phys)
+        assert "SortMergeJoin" not in phys, (key, phys)
+
+
+def test_tsdiag_drawdown_topk_lowered(q):
+    """§2.AA aa4: the global answer must lower to TakeOrderedAndProject
+    (limit=1) over the checkpointed |ship days| series, never a global
+    sort."""
+    phys = physical_plan(q("q_ts_drawdown"))
+    assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_month_spine_bounds_outside_loop(q):
+    """§2.Z z4: the spine bounds must be checkpointed BEFORE the
+    recursion — an inline bounds CTE lands inside the UnionLoop's
+    recursive term in Spark 4.1 and re-scans orders for `hi` on every
+    iteration. The only allowed parquet scan is the per_month aggregate
+    branch (one logical scan; `parquet` appears once as the loop-free
+    Relation line and once in its FileScan detail)."""
+    phys = physical_plan(q("q_rec_month_spine"))
+    assert "UnionLoop" in phys, phys
+    loop = phys[phys.index("UnionLoop"):]
+    loop = loop[: loop.index("BroadcastExchange")]  # the recursion subtree
+    assert "parquet" not in loop, loop
