@@ -107,14 +107,15 @@ _TAIL2 = (
     # presample is regenerated alongside this amendment).
     f"{_PKG}.ml.search",
     # Round-9 fourth batch: nonparametric rank statistics (§2.Y),
-    # recursive/hierarchical queries (§2.Z) and the fifth batch:
+    # recursive/hierarchical queries (§2.Z), the fifth batch:
     # time-series diagnostics (§2.AA, operators.tsdiag — NOT the legacy
-    # operators.timeseries hypertable module above). Same discipline —
-    # appended last, join the round-10 overflow lead, r10 presample
-    # regenerated alongside.
+    # operators.timeseries hypertable module above), and the sixth
+    # batch: growth accounting (§2.AB). Same discipline — appended last,
+    # r10/r11/r12 presamples regenerated alongside.
     f"{_PKG}.operators.rankstats",
     f"{_PKG}.operators.recursive",
     f"{_PKG}.operators.tsdiag",
+    f"{_PKG}.operators.lifecycle",
 )
 
 
@@ -178,13 +179,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 104 keys; operators.attribution's
+    # the round-9 first-50 cut (now 109 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
     # the third batch ml.search is #86..#90, the fourth batch
     # operators.rankstats + operators.recursive is #91..#99, and the
-    # fifth batch operators.tsdiag is #100..#104), so the
+    # fifth batch operators.tsdiag is #100..#104 and the sixth batch
+    # operators.lifecycle is #105..#109), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 12..14 keep their
@@ -193,7 +195,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # tsdiag keys fall past round 10's first-50 cut — so the
     # round-6 slot (rounds 11/16) leads with operators.tsdiag (5
     # keys) before the round-6 order; the r11 presample pair is
-    # regenerated alongside this amendment.
+    # regenerated alongside this amendment. Third amendment (same day):
+    # the sixth batch (operators.lifecycle, 5 keys) sits past BOTH
+    # windows, so the round-7 slot (rounds 12/17) leads with it the same
+    # way; the r12 presample pair is regenerated alongside.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         overflow = (
@@ -209,10 +214,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.operators.rankstats",
             f"{_PKG}.operators.recursive",
             f"{_PKG}.operators.tsdiag",
+            f"{_PKG}.operators.lifecycle",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     if (rnd - 10) % 5 == 1:
         lead = (f"{_PKG}.operators.tsdiag",)
+        return lead + tuple(m for m in base if m not in lead)
+    if (rnd - 10) % 5 == 2:
+        lead = (f"{_PKG}.operators.lifecycle",)
         return lead + tuple(m for m in base if m not in lead)
     return base
 

@@ -97,6 +97,13 @@ HARDENED = (
     "q_ts_autocorr",
     "q_ts_cusum_changepoint",
     "q_ts_drawdown",
+    # round-9 sixth batch — growth accounting: exact-cent cohort/tenure
+    # sums and truncating-div bp must be scan-split-blind
+    "q_ltv_cohort_curve",
+    "q_churn_hazard",
+    "q_benford_audit",
+    "q_seasonal_residual_outliers",
+    "q_new_vs_returning",
 )
 
 

@@ -476,6 +476,10 @@ _BNLJ_ALLOWED = {
     "q_ranks_kendall_binned",
     "q_ranks_ks_distance",
     "q_ranks_median_test",
+    # §2.AB: 1-row totals broadcast against the checkpointed |tenures| /
+    # 9-digit bounded relations
+    "q_churn_hazard",
+    "q_benford_audit",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1263,3 +1267,33 @@ def test_month_spine_bounds_outside_loop(q):
     loop = phys[phys.index("UnionLoop"):]
     loop = loop[: loop.index("BroadcastExchange")]  # the recursion subtree
     assert "parquet" not in loop, loop
+
+
+def test_lifecycle_bounded_after_checkpoint(q):
+    """§2.AB ab1/ab2/ab3: after the fact collapses into the checkpointed
+    bounded relation (cohort cells / tenure histogram / 9 digits), the
+    final plan must contain no parquet scan and no sort-merge join; ab1
+    keeps one series-sized hash exchange (the per-cohort running-sum
+    window), ab2/ab3 none."""
+    for key, allowed in (
+        ("q_ltv_cohort_curve", 1),
+        ("q_churn_hazard", 0),
+        ("q_benford_audit", 0),
+    ):
+        phys = physical_plan(q(key))
+        assert "parquet" not in phys, (key, phys)
+        assert phys.count("Exchange hashpartitioning") <= allowed, (key, phys)
+        assert "SortMergeJoin" not in phys, (key, phys)
+
+
+def test_lifecycle_cohort_is_window_not_selfjoin(q):
+    """§2.AB ab5: the cohort month must come from a window min over the
+    customer partition — ONE custkey exchange plus the month groupBy
+    exchange, one fact scan, and no join of the fact against its own
+    aggregate (the groupBy-then-join-back spelling costs a second
+    scan)."""
+    phys = physical_plan(q("q_new_vs_returning"))
+    assert phys.count("FileScan") == 1, phys
+    assert phys.count("Exchange hashpartitioning") == 2, phys
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in phys, phys
