@@ -116,6 +116,10 @@ _TAIL2 = (
     f"{_PKG}.operators.recursive",
     f"{_PKG}.operators.tsdiag",
     f"{_PKG}.operators.lifecycle",
+    # Round-9 seventh batch: recommender evaluation & training prep
+    # (§2.AC). Rounds 13/18 lead with it (fourth amendment); the r13
+    # presample pair is regenerated alongside.
+    f"{_PKG}.ml.receval",
 )
 
 
@@ -179,14 +183,15 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 109 keys; operators.attribution's
+    # the round-9 first-50 cut (now 114 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
     # the third batch ml.search is #86..#90, the fourth batch
     # operators.rankstats + operators.recursive is #91..#99, and the
-    # fifth batch operators.tsdiag is #100..#104 and the sixth batch
-    # operators.lifecycle is #105..#109), so the
+    # fifth batch operators.tsdiag is #100..#104, the sixth batch
+    # operators.lifecycle is #105..#109 and the seventh batch
+    # ml.receval is #110..#114), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 12..14 keep their
@@ -198,7 +203,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # regenerated alongside this amendment. Third amendment (same day):
     # the sixth batch (operators.lifecycle, 5 keys) sits past BOTH
     # windows, so the round-7 slot (rounds 12/17) leads with it the same
-    # way; the r12 presample pair is regenerated alongside.
+    # way; the r12 presample pair is regenerated alongside. Fourth
+    # amendment (same day): the seventh batch (ml.receval, 5 keys)
+    # leads the round-8 slot (rounds 13/18); r13 pair regenerated.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         overflow = (
@@ -215,6 +222,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.operators.recursive",
             f"{_PKG}.operators.tsdiag",
             f"{_PKG}.operators.lifecycle",
+            f"{_PKG}.ml.receval",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     if (rnd - 10) % 5 == 1:
@@ -222,6 +230,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 2:
         lead = (f"{_PKG}.operators.lifecycle",)
+        return lead + tuple(m for m in base if m not in lead)
+    if (rnd - 10) % 5 == 3:
+        lead = (f"{_PKG}.ml.receval",)
         return lead + tuple(m for m in base if m not in lead)
     return base
 

@@ -104,6 +104,14 @@ HARDENED = (
     "q_benford_audit",
     "q_seasonal_residual_outliers",
     "q_new_vs_returning",
+    # round-9 seventh batch — recommender evaluation: the deterministic
+    # rec list, its exposure/bias rollups, and the md5 negative sample
+    # must be identical on any scan split
+    "q_rec_catalog_coverage",
+    "q_rec_exposure_gini",
+    "q_rec_popularity_bias",
+    "q_rec_next_part_transitions",
+    "q_rec_negative_sampling",
 )
 
 

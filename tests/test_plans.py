@@ -480,6 +480,12 @@ _BNLJ_ALLOWED = {
     # 9-digit bounded relations
     "q_churn_hazard",
     "q_benford_audit",
+    # §2.AC: 1-row catalog/exposure totals (ac1/ac3); ac5's nested loop
+    # IS the intended bounded grid — a broadcast 20-row TakeOrdered
+    # panel crossed with the catalog for candidate generation
+    "q_rec_catalog_coverage",
+    "q_rec_popularity_bias",
+    "q_rec_negative_sampling",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1296,4 +1302,15 @@ def test_lifecycle_cohort_is_window_not_selfjoin(q):
     assert phys.count("FileScan") == 1, phys
     assert phys.count("Exchange hashpartitioning") == 2, phys
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in phys, phys
+
+
+def test_next_part_transitions_single_orders_scan(q):
+    """§2.AC ac4: consecutive order pairs must come from one lead()
+    window, not a sequence self-join — exactly one orders scan; the two
+    lineitem scans are the genuine part fan-out join's two sides."""
+    phys = physical_plan(q("q_rec_next_part_transitions"))
+    assert phys.count("orders.parquet") == 1, phys
+    assert phys.count("lineitem.parquet") == 2, phys
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in phys, phys
