@@ -775,16 +775,32 @@ def q_item_recs_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
     item_orders = lineitem.select("l_orderkey", "l_partkey").distinct()
     a, b = item_orders.alias("a"), item_orders.alias("b")
-    co = (
+    # co(i,j) is symmetric: generate each unordered pair ONCE (< instead
+    # of <>, halving the dominant Σ|parts per order|² fan-out) and mirror
+    # the far-smaller aggregated pair table afterwards — same relation,
+    # half the join/aggregate work (the oracle keeps the <> spelling to
+    # stay an independent derivation).
+    co_half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("item_i"), F.col("b.l_partkey").alias("item_j"))
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)
     )
+    # mirror in place with explode (NOT a union of two co_half reads —
+    # Catalyst would re-run the whole pair pipeline once per branch)
+    co = co_half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_i").alias("i"), F.col("item_j").alias("j")),
+                F.struct(F.col("item_j").alias("i"), F.col("item_i").alias("j")),
+            )
+        ).alias("p"),
+        "co",
+    ).select(F.col("p.i").alias("item_i"), F.col("p.j").alias("item_j"), "co")
     wn = Window.partitionBy("item_i").orderBy(F.col("co").desc(), "item_j")
     neighbors = co.withColumn("nr", F.row_number().over(wn)).filter(F.col("nr") <= 10).drop("nr")
     user_items = (
