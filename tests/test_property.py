@@ -1288,3 +1288,120 @@ def test_loo_encoding_matches_python(spark, rows):
         k: (got.get(k), expect.get(k)) for k in set(expect) | set(got)
         if got.get(k) != expect.get(k)
     }
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine renderer specs for the round-9 suites (§2.Z/§2.AA/§2.AB/§2.AC).
+# Three primitives carry those suites' hash-match claims: the zero-padded
+# month renderer (lpad over integer div/mod), the leading-digit string head
+# (Benford), and md5 hex over a composed key (negative sampling). Each is
+# fuzzed against a pure-Python reference in BOTH engines.
+
+
+@given(
+    idxs=st.lists(
+        st.tuples(st.integers(1, 9999), st.integers(1, 12)).map(
+            lambda p: p[0] * 12 + p[1] - 1
+        ),
+        min_size=1,
+        max_size=100,
+        unique=True,
+    )
+)
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ym_renderer_matches_python(spark, idxs):
+    expect = {i: f"{i // 12:04d}-{i % 12 + 1:02d}" for i in idxs}
+    sdf = spark.createDataFrame([(i,) for i in idxs], "i BIGINT").select(
+        "i",
+        F.expr(
+            "concat(lpad(CAST(i div 12 AS STRING), 4, '0'), '-',"
+            " lpad(CAST(i % 12 + 1 AS STRING), 2, '0'))"
+        ).alias("ym"),
+    )
+    assert {r["i"]: r["ym"] for r in sdf.collect()} == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (i BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in idxs])
+        got = dict(
+            con.execute(
+                "SELECT i, concat(lpad(CAST(i // 12 AS VARCHAR), 4, '0'), '-',"
+                " lpad(CAST(i % 12 + 1 AS VARCHAR), 2, '0')) FROM t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(1, 10**17),
+            st.sampled_from([1, 9, 10, 99, 100, 10**9, 10**9 - 1]),
+        ),
+        min_size=1,
+        max_size=100,
+        unique=True,
+    )
+)
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_leading_digit_matches_python(spark, vals):
+    expect = {v: int(str(v)[0]) for v in vals}
+    sdf = spark.createDataFrame([(v,) for v in vals], "v BIGINT").select(
+        "v",
+        F.substring(F.col("v").cast("string"), 1, 1).cast("long").alias("d"),
+    )
+    assert {r["v"]: r["d"] for r in sdf.collect()} == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        got = dict(
+            con.execute(
+                "SELECT v, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) FROM t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 10**9)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_md5_composed_key_matches_python(spark, pairs):
+    import hashlib
+
+    expect = {p: hashlib.md5(f"{p[0]}:{p[1]}".encode()).hexdigest() for p in pairs}
+    sdf = spark.createDataFrame(pairs, "u BIGINT, i BIGINT").select(
+        "u",
+        "i",
+        F.md5(
+            F.concat(F.col("u").cast("string"), F.lit(":"), F.col("i").cast("string"))
+        ).alias("h"),
+    )
+    assert {(r["u"], r["i"]): r["h"] for r in sdf.collect()} == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (u BIGINT, i BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(pairs))
+        got = {
+            (u, i): h
+            for u, i, h in con.execute(
+                "SELECT u, i, md5(concat(CAST(u AS VARCHAR), ':',"
+                " CAST(i AS VARCHAR))) FROM t"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == expect
