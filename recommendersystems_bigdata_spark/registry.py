@@ -120,6 +120,11 @@ _TAIL2 = (
     # (§2.AC). Rounds 13/18 lead with it (fourth amendment); the r13
     # presample pair is regenerated alongside.
     f"{_PKG}.ml.receval",
+    # Round-9 eighth batch: ledger-integrity audits (§2.AD). Rounds
+    # 14/19 lead with it (fifth amendment — the last free cycle slot);
+    # the r14 presample pair is generated alongside (round 14 previously
+    # reused the round-9 pair verbatim).
+    f"{_PKG}.operators.integrity",
 )
 
 
@@ -183,15 +188,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 114 keys; operators.attribution's
+    # the round-9 first-50 cut (now 117 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
     # the third batch ml.search is #86..#90, the fourth batch
     # operators.rankstats + operators.recursive is #91..#99, and the
     # fifth batch operators.tsdiag is #100..#104, the sixth batch
-    # operators.lifecycle is #105..#109 and the seventh batch
-    # ml.receval is #110..#114), so the
+    # operators.lifecycle is #105..#109, the seventh batch
+    # ml.receval is #110..#114 and the eighth batch
+    # operators.integrity is #115..#117), so the
     # cycle's round-5 slot (rounds 10/15/20) leads with the overflow
     # modules before the round-5 order — giving the overflow driver
     # evidence in round 10 while rounds 12..14 keep their
@@ -206,6 +212,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # way; the r12 presample pair is regenerated alongside. Fourth
     # amendment (same day): the seventh batch (ml.receval, 5 keys)
     # leads the round-8 slot (rounds 13/18); r13 pair regenerated.
+    # Fifth amendment (same day): the eighth batch (operators.integrity,
+    # 3 keys) leads the round-9 slot (rounds 14/19); a fresh r14 pair is
+    # committed (the slot previously reused the r9 pair verbatim).
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
         overflow = (
@@ -223,6 +232,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
             f"{_PKG}.operators.tsdiag",
             f"{_PKG}.operators.lifecycle",
             f"{_PKG}.ml.receval",
+            f"{_PKG}.operators.integrity",
         )
         return overflow + tuple(m for m in base if m not in overflow)
     if (rnd - 10) % 5 == 1:
@@ -233,6 +243,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 3:
         lead = (f"{_PKG}.ml.receval",)
+        return lead + tuple(m for m in base if m not in lead)
+    if (rnd - 10) % 5 == 4:
+        lead = (f"{_PKG}.operators.integrity",)
         return lead + tuple(m for m in base if m not in lead)
     return base
 

@@ -112,6 +112,12 @@ HARDENED = (
     "q_rec_popularity_bias",
     "q_rec_next_part_transitions",
     "q_rec_negative_sampling",
+    # round-9 eighth batch — integrity audits: cent-remainder classes,
+    # composite-key duplicate groups, and the two-pass-ranked gap table
+    # must be identical on any scan split
+    "q_audit_round_amounts",
+    "q_audit_duplicate_candidates",
+    "q_audit_keyspace_gaps",
 )
 
 

@@ -1314,3 +1314,21 @@ def test_next_part_transitions_single_orders_scan(q):
     assert phys.count("lineitem.parquet") == 2, phys
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in phys, phys
+
+
+def test_integrity_audits_single_shuffle(q):
+    """§2.AD: each audit pays exactly the one shuffle its question
+    requires — ad1 the priority-ending groupBy plus a bounded-relation
+    share window, ad2 the composite-key groupBy alone, ad3 nothing but
+    the (pre-checkpoint) two-pass rank, with the lag window and TopK
+    running on the checkpointed |runs| relation."""
+    for key, max_hash in (
+        ("q_audit_round_amounts", 2),
+        ("q_audit_duplicate_candidates", 1),
+        ("q_audit_keyspace_gaps", 0),
+    ):
+        phys = physical_plan(q(key))
+        assert phys.count("Exchange hashpartitioning") <= max_hash, (key, phys)
+        for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in phys, (key, phys)
+    assert "TakeOrderedAndProject" in physical_plan(q("q_audit_keyspace_gaps"))

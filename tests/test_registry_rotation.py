@@ -33,16 +33,16 @@ def test_rotation_orders_are_permutations():
         assert set(order) == all_mods, f"round {rnd} drops a module"
 
 
-def test_rounds_4_to_13_cover_all_keys():
+def test_rounds_4_to_14_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
-    cover every registered key: after round 13 every §2 operator (the
+    cover every registered key: after round 14 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
     the _TAIL2 overflow — attribution's three keys (#51..#53 in the
     round-9 order) plus every later round-9 batch — leads round 10, and
     the overflow keys past round 10's own 50-key cut are picked up by
-    round 11's tsdiag lead, round 12's lifecycle lead and round 13's
-    receval lead, per registry.py's four amendment comments) has
-    appeared in a driver CORRECTNESS sample."""
+    round 11's tsdiag lead, round 12's lifecycle lead, round 13's
+    receval lead and round 14's integrity lead, per registry.py's five
+    amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -54,7 +54,7 @@ def test_rounds_4_to_13_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -79,10 +79,12 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.tsdiag",
         f"{registry._PKG}.operators.lifecycle",
         f"{registry._PKG}.ml.receval",
+        f"{registry._PKG}.operators.integrity",
     )
     ts_lead = (f"{registry._PKG}.operators.tsdiag",)
     lc_lead = (f"{registry._PKG}.operators.lifecycle",)
     re_lead = (f"{registry._PKG}.ml.receval",)
+    in_lead = (f"{registry._PKG}.operators.integrity",)
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0:
@@ -107,7 +109,10 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
                 m for m in base if m not in re_lead
             )
         else:
-            assert registry._module_order(rnd) == base
+            # the round-9 slot leads with the eighth batch (integrity)
+            assert registry._module_order(rnd) == in_lead + tuple(
+                m for m in base if m not in in_lead
+            )
     # the cycle actually rotates: consecutive rounds differ
     assert registry._module_order(10) != registry._module_order(11)
 
@@ -126,18 +131,19 @@ def test_post_presample_tail_outside_pinned_windows():
     assert tail2_keys, "_TAIL2 modules registered no keys"
     for rnd in (5, 6, 7, 8):
         assert not (tail2_keys & set(_first50(rnd))), rnd
-    # 114 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
+    # 117 _TAIL2 keys vs a 50-key window: round 9 takes the first 50,
     # round 10's overflow lead takes attribution (#51..#53), the round-9
     # quality/analytics2/stream_extra/pyds additions (#54..#71), the
     # second round-9 batch sequences/features/stream_state (#72..#85),
     # the search suite (#86..#90), the rankstats suite (#91..#95), the
     # recursive suite (#96..#99) and the tsdiag head (#100) — the 4
     # tsdiag keys past that 50-key cut lead round 11, the sixth batch
-    # (lifecycle, #105..#109) leads round 12 and the seventh (receval,
-    # #110..#114) leads round 13
+    # (lifecycle, #105..#109) leads round 12, the seventh (receval,
+    # #110..#114) leads round 13 and the eighth (integrity, #115..#117)
+    # leads round 14
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
-        | set(_first50(12)) | set(_first50(13))
+        | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -176,6 +182,12 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_rec_negative_sampling",
     ):
         assert k in set(_first50(13)), k
+    for k in (
+        "q_audit_round_amounts",
+        "q_audit_duplicate_candidates",
+        "q_audit_keyspace_gaps",
+    ):
+        assert k in set(_first50(14)), k
 
 
 def test_progress_round_parse_is_safe():
