@@ -125,6 +125,14 @@ _TAIL2 = (
     # the r14 presample pair is generated alongside (round 14 previously
     # reused the round-9 pair verbatim).
     f"{_PKG}.operators.integrity",
+    # Round-9 ninth batch: inventory/supply-chain flows (§2.AE) and
+    # spatial grid analytics (§2.AF). Every first-cycle lead slot
+    # (rounds 10–14) is spoken for, so these lead the SECOND cycle's
+    # first slot (rounds 15/20 — sixth amendment, see below); a fresh
+    # r15 presample pair is committed alongside. All committed windows
+    # (r9–r14) are unaffected: the modules sit past every first-50 cut.
+    f"{_PKG}.operators.inventory",
+    f"{_PKG}.operators.spatial",
 )
 
 
@@ -188,7 +196,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # repeating one window — and every future window is a list a committed
     # presample has already verified for cross-session determinism.
     # One amendment (late round 8, extended round 9): _TAIL2 grew past
-    # the round-9 first-50 cut (now 117 keys; operators.attribution's
+    # the round-9 first-50 cut (now 127 keys; operators.attribution's
     # three keys are #51..#53 in the round-9 order, the round-9
     # additions quality/analytics2/stream_extra/pyds are #54..#71, the
     # second round-9 batch sequences/features/stream_state is #72..#85,
@@ -215,8 +223,23 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # Fifth amendment (same day): the eighth batch (operators.integrity,
     # 3 keys) leads the round-9 slot (rounds 14/19); a fresh r14 pair is
     # committed (the slot previously reused the r9 pair verbatim).
+    # Sixth amendment (same day): the ninth batch (operators.inventory +
+    # operators.spatial, 10 keys) leads the SECOND pass through the
+    # round-5 slot (rounds 15/20) — round 10 keeps its committed
+    # overflow-led window verbatim; a fresh r15 pair is committed.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
+        # Sixth amendment: the ninth round-9 batch (inventory + spatial,
+        # 10 keys) landed after every first-cycle lead slot was assigned,
+        # so the SECOND pass through this slot (rounds 15/20) leads with
+        # it; round 10 keeps its committed overflow-led window verbatim.
+        if rnd >= 15:
+            lead = (
+                f"{_PKG}.operators.inventory",
+                f"{_PKG}.operators.spatial",
+            )
+            rest = _module_order(10)
+            return lead + tuple(m for m in rest if m not in lead)
         overflow = (
             f"{_PKG}.operators.attribution",
             f"{_PKG}.operators.quality",

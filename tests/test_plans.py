@@ -486,6 +486,10 @@ _BNLJ_ALLOWED = {
     "q_rec_catalog_coverage",
     "q_rec_popularity_bias",
     "q_rec_negative_sampling",
+    # §2.AF af3: the nearest-hub fan-out broadcasts the HUB DIMENSION —
+    # small by definition (fulfillment hubs, not a fact) — and the
+    # per-customer argmin prunes the fan-out before any shuffle
+    "q_geo_nearest_hub",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1332,3 +1336,57 @@ def test_integrity_audits_single_shuffle(q):
         for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in phys, (key, phys)
     assert "TakeOrderedAndProject" in physical_plan(q("q_audit_keyspace_gaps"))
+
+
+def test_inventory_windows_share_part_partitioning(q):
+    """§2.AE ae1: the running-balance window and the per-part summary
+    groupBy hash-partition on the SAME key, so the whole query pays ONE
+    hash exchange — and no spelling of it joins anything."""
+    phys = physical_plan(q("q_inv_running_balance"))
+    assert phys.count("Exchange hashpartitioning") <= 1, phys
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_fifo_allocation_is_equi_join(q):
+    """§2.AE ae2: the FIFO interval-overlap match must lower to an
+    EQUI-join on the part key (broadcast at test scale, sort-merge at
+    100 TB) with the overlap predicate as a residual — never a nested
+    loop or cartesian over the interval sets."""
+    phys = physical_plan(q("q_inv_fifo_allocation"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    assert any(j in phys for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys
+
+
+def test_geo_pairs_candidates_from_cell_equi_join(q):
+    """§2.AF af2: within-radius pairs must come from the 3×3 stencil's
+    cell-id EQUI-join (two Generate fan-outs feed it), with the exact
+    distance as a residual and the global top-20 lowered to
+    TakeOrderedAndProject — the all-pairs spelling (nested loop /
+    cartesian) must not appear anywhere."""
+    phys = physical_plan(q("q_geo_nearest_pairs"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    assert any(j in phys for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys
+    assert phys.count("Generate") >= 1, phys
+    assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_geo_hub_fanout_and_coverage_broadcast(q):
+    """§2.AF af3/af5: the hub side is the SMALL dimension — af3's
+    every-customer×every-hub fan-out is a deliberate broadcast nested
+    loop over |hubs| rows (documented; never fact×fact), and af5's
+    stencil join must be a broadcast EQUI-join on cell ids with no
+    cartesian anywhere."""
+    phys3 = physical_plan(q("q_geo_nearest_hub"))
+    assert "BroadcastNestedLoopJoin" in phys3, phys3  # the |hubs| fan-out
+    assert "CartesianProduct" not in phys3, phys3
+    assert "SortMergeJoin" not in phys3, phys3
+    phys5 = physical_plan(q("q_geo_coverage"))
+    assert "BroadcastHashJoin" in phys5, phys5
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys5, phys5

@@ -35,13 +35,14 @@ def test_rotation_orders_are_permutations():
 
 def test_rounds_4_to_14_cover_all_keys():
     """The union of the 50-key sampling windows plus the r1–r3 block must
-    cover every registered key: after round 14 every §2 operator (the
+    cover every registered key: after round 15 every §2 operator (the
     round-5 curation tail leads round 8, the _TAIL2 tail leads round 9,
     the _TAIL2 overflow — attribution's three keys (#51..#53 in the
-    round-9 order) plus every later round-9 batch — leads round 10, and
-    the overflow keys past round 10's own 50-key cut are picked up by
+    round-9 order) plus every later round-9 batch — leads round 10, the
+    overflow keys past round 10's own 50-key cut are picked up by
     round 11's tsdiag lead, round 12's lifecycle lead, round 13's
-    receval lead and round 14's integrity lead, per registry.py's five
+    receval lead and round 14's integrity lead, and the ninth batch
+    (inventory + spatial) leads round 15, per registry.py's six
     amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -54,7 +55,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -85,9 +86,20 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     lc_lead = (f"{registry._PKG}.operators.lifecycle",)
     re_lead = (f"{registry._PKG}.ml.receval",)
     in_lead = (f"{registry._PKG}.operators.integrity",)
+    ninth_lead = (
+        f"{registry._PKG}.operators.inventory",
+        f"{registry._PKG}.operators.spatial",
+    )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
-        if (rnd - 10) % 5 == 0:
+        if (rnd - 10) % 5 == 0 and rnd >= 15:
+            # sixth amendment: the SECOND pass through the round-5 slot
+            # (rounds 15/20) leads with the ninth batch (inventory +
+            # spatial); round 10 keeps its committed overflow window
+            assert registry._module_order(rnd) == ninth_lead + tuple(
+                m for m in registry._module_order(10) if m not in ninth_lead
+            )
+        elif (rnd - 10) % 5 == 0:
             # the round-5 cycle slot leads with the _TAIL2 overflow modules
             assert registry._module_order(rnd) == overflow + tuple(
                 m for m in base if m not in overflow
@@ -141,9 +153,12 @@ def test_post_presample_tail_outside_pinned_windows():
     # (lifecycle, #105..#109) leads round 12, the seventh (receval,
     # #110..#114) leads round 13 and the eighth (integrity, #115..#117)
     # leads round 14
+    # ... and the ninth batch (inventory + spatial, #118..#127) leads
+    # round 15 (the sixth amendment)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
+        | set(_first50(15))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -188,6 +203,19 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_audit_keyspace_gaps",
     ):
         assert k in set(_first50(14)), k
+    for k in (
+        "q_inv_running_balance",
+        "q_inv_fifo_allocation",
+        "q_inv_cover_buckets",
+        "q_inv_leftover_aging",
+        "q_inv_monthly_net_census",
+        "q_geo_grid_density",
+        "q_geo_nearest_pairs",
+        "q_geo_nearest_hub",
+        "q_geo_tile_pyramid",
+        "q_geo_coverage",
+    ):
+        assert k in set(_first50(15)), k
 
 
 def test_progress_round_parse_is_safe():
