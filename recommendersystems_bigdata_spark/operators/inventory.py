@@ -21,9 +21,11 @@ Spark-first shape, sized for 100 TB:
 - Every window is partitioned by ``l_partkey`` — per-part flow streams
   are small (part count grows with the catalog, per-part history is
   bounded), so no single-partition window ever sees the fact.
-- ae2/ae4 derive supply and demand legs from ONE localCheckpointed
-  signed-flow frame (single fact scan), then join on the part key —
-  the one shuffle any per-part alignment pays.
+- ae2/ae4 feed supply leg, demand leg and per-part totals from ONE
+  interval-window lineage with NO checkpoint: ReusedExchange dedups
+  the window's shuffle across the self-join, and a measured 10× A/B
+  showed every materialization variant strictly slower (see ae2's
+  docstring) — the one shuffle any per-part alignment pays.
 - Census outputs (ae3/ae5) collapse to bucket/month cardinality before
   any ordered window, so global sorts only ever see bounded relations.
 """
@@ -192,14 +194,17 @@ def q_inv_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides present; ``alloc = least(supply, demand)`` by
     construction, which the oracle certifies).
 
-    Scale: supply/demand intervals come from ONE window pass over one
-    localCheckpointed fact scan (partitioned by part AND side); the
+    Scale: the interval frame feeds three consumers (supply leg, demand
+    leg, per-part totals) through PLAIN LINEAGE — no checkpoint:
+    Catalyst's ReusedExchange dedups the window's shuffle across the
+    self-join, so the fact is scanned and shuffled once anyway. This
+    was measured, not assumed — a same-JVM A/B at the 10× probe:
+    localCheckpoint above the window 39.6 s, below it 12.6 s, pure
+    lineage 6.1 s (the materialization itself was the bottleneck). The
     match is an equi-join on the part key with a local overlap residual
     — within a part the overlap relation is linear in lots + demands
-    (each unit is covered once per side), never quadratic. One shuffle
-    for the window, co-partitioned join after it."""
-    flows = _flows(spark, sf_dir).localCheckpoint()  # one fact scan for both legs
-    iv = _intervals(flows)
+    (each unit is covered once per side), never quadratic."""
+    iv = _intervals(_flows(spark, sf_dir))
     lo = (F.col("cum_end") - F.col("qty")).alias("lo")
     s = iv.where("is_supply").select("p", lo, F.col("cum_end").alias("hi"))
     d = iv.where(~F.col("is_supply")).select("p", lo, F.col("cum_end").alias("hi"))
@@ -218,7 +223,7 @@ def q_inv_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_qty"),
     )
-    tot = flows.groupBy("p").agg(
+    tot = iv.groupBy("p").agg(
         F.sum(F.when(F.col("is_supply"), F.col("qty")).otherwise(0))
         .cast("long")
         .alias("supply_qty"),
@@ -356,21 +361,32 @@ def q_inv_leftover_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead-stock report: which receiving months' lots are still on the
     shelf, and how many units.
 
-    Scale: lot intervals from the shared per-(part, side) window; part
-    demand totals from one partial-aggregated groupBy, joined back on
-    the part key (co-partitioned with the window's shuffle); the month
-    rollup is a bounded census. No pairwise work at all — FIFO leftovers
-    need only each lot vs the part TOTAL, not lot×demand pairs."""
-    flows = _flows(spark, sf_dir).localCheckpoint()
-    iv = _intervals(flows)
+    Scale: unlike ae2, only the SUPPLY side needs intervals here — the
+    demand side enters as its per-part TOTAL, a plain partial-aggregated
+    sum with no window — so the returnflag filter runs BEFORE the
+    window (pushed into the parquet scan) and the cumulative sort sees
+    a third of the fact. The first spelling windowed both sides and
+    joined two consumers of that lineage: 12.7 s at the 10× probe vs
+    3.8 s for this one. Each lot then joins the part total on the part
+    key; the month rollup is a bounded census. No pairwise work at all
+    — FIFO leftovers need only each lot vs the part TOTAL, not
+    lot×demand pairs."""
+    flows = _flows(spark, sf_dir)
+    w = (
+        Window.partitionBy("p")
+        .orderBy(*_ord())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    supply = flows.where("is_supply").withColumn(
+        "cum_end", F.sum("qty").over(w).cast("long")
+    )
     dtot = (
         flows.where(~F.col("is_supply"))
         .groupBy("p")
         .agg(F.sum("qty").cast("long").alias("d"))
     )
     lots = (
-        iv.where("is_supply")
-        .join(dtot, "p", "left")
+        supply.join(dtot, "p", "left")
         .select(
             "p",
             "ts",

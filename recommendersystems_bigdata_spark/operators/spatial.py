@@ -24,14 +24,16 @@ from a grid-cell join, never a cross product), nearest-hub assignment
 pyramid (multi-resolution rollup), and bipartite radius coverage.
 
 Spark-first shape, sized for 100 TB:
-- af2/af5 NEVER enumerate all pairs: one side is exploded to its 3×3
-  neighbor cells (a 9× map-side fan-out) and the match is an equi-join
-  on the cell id — candidate count is bounded by grid occupancy, and
-  the exact-distance residual runs post-join. Radii are ≤ the cell size
-  so the 3×3 stencil is provably complete.
+- af2/af5 NEVER enumerate all pairs: one side is exploded to neighbor
+  cells (af2 the 5-cell FORWARD half-stencil on radius-sized cells so
+  each unordered pair is generated once; af5 the full 3×3 on the small
+  hub side) and the match is an equi-join on the cell id — candidate
+  count is bounded by grid occupancy, and the exact-distance residual
+  runs post-join. Radii are ≤ the cell edge so the stencils are
+  provably complete.
 - af3 broadcasts the hub dimension (hubs are small by definition); the
-  per-entity argmin is a window over the 9-or-|hubs| candidate rows,
-  deterministically tie-broken.
+  per-entity argmin is a partial-aggregable min(struct(dist2, hk)), so
+  the fan-out collapses map-side, deterministically tie-broken.
 - af1/af4 are single partial-aggregated groupBys to grid cardinality;
   ordered output only ever sees bounded tile relations.
 
@@ -53,8 +55,9 @@ _CENTS = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 # planar extents in micro-degrees; coordinates land in [0, extent).
 _LAT_EXTENT = 180_000_001
 _LON_EXTENT = 360_000_001
-_CELL = 10_000_000  # 10° grid cells
-_R2_PAIRS = 25_000_000_000_000  # (5e6 µdeg)² — pair radius, ≤ _CELL
+_CELL = 10_000_000  # 10° grid cells (density display + coverage stencil)
+_CELL_PAIRS = 5_000_000  # radius-sized 5° cells for the pair join (af2)
+_R2_PAIRS = 25_000_000_000_000  # (5e6 µdeg)² — pair radius, ≤ _CELL_PAIRS
 _R2_COVER = 64_000_000_000_000  # (8e6 µdeg)² — coverage radius, ≤ _CELL
 
 
@@ -166,47 +169,68 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geo_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.AF af2 — within-radius nearest pairs: the 20 closest customer
     pairs within 5° planar distance. Candidates come from the grid: side
-    B fans out to its 3×3 neighbor cells (9× map-side explode) and pairs
-    form by EQUI-JOIN on the cell id, then the exact integer distance
-    residual and `ck_a < ck_b` dedup run post-join. Radius ≤ cell size
+    A fans out to its FORWARD half-stencil (5 cells, map-side explode)
+    and pairs form by EQUI-JOIN on the cell id, then the exact integer
+    distance residual runs post-join; every unordered pair is generated
+    exactly once (cross-cell by the one forward direction that matches
+    its cell difference, same-cell by key order). Radius ≤ cell edge
     proves the stencil complete — the ORACLE runs the naive quadratic
     join, so the hash match certifies the grid candidate set loses no
     pair.
 
-    Scale: this is the avoid-all-pairs kernel — shuffle is on cell ids
-    (grid occupancy), candidate count is Σ_cell n·m over 9 stencils,
-    never |n|²; skewed cells are the known hazard and the grid size is
-    the lever. TakeOrdered keeps only 20."""
+    Scale: the avoid-all-pairs kernel, tuned twice after measurement.
+    (a) The pair grid uses RADIUS-SIZED cells (5°, not the display
+    grid's 10°): completeness needs only radius ≤ cell edge, and
+    quartering the cell area cuts stencil occupancy ~4×. (b) Side A
+    fans out to the FORWARD half-stencil only — {(0,0),(0,1),(1,−1),
+    (1,0),(1,1)}, one of ±(dx,dy) per direction — so every unordered
+    cross-cell pair is generated exactly once and same-cell pairs are
+    ordered by key; vs the naive 3×3 both-sided join this is ~3.6×
+    fewer candidates. Candidate count is Σ_cell n·m over 5 stencils,
+    never |n|²; with density-proportional growth the remaining lever is
+    shrinking the radius or the cell. TakeOrdered keeps only 20."""
     cust = _cust(spark, sf_dir).withColumn(
-        "cx", F.expr(f"lat div {_CELL}")
-    ).withColumn("cy", F.expr(f"lon div {_CELL}"))
-    a = cust.select(
+        "cx", F.expr(f"lat div {_CELL_PAIRS}")
+    ).withColumn("cy", F.expr(f"lon div {_CELL_PAIRS}"))
+    fwd = F.expr(
+        "explode(array(named_struct('dx', 0, 'dy', 0),"
+        " named_struct('dx', 0, 'dy', 1), named_struct('dx', 1, 'dy', -1),"
+        " named_struct('dx', 1, 'dy', 0), named_struct('dx', 1, 'dy', 1)))"
+    )
+    a = cust.withColumn("o", fwd).select(
         F.col("ck").alias("ck_a"),
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
+        (F.col("cx") + F.col("o.dx")).alias("cell_x"),
+        (F.col("cy") + F.col("o.dy")).alias("cell_y"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
+    )
+    b = cust.select(
+        F.col("ck").alias("ck_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
         F.col("cx").alias("cell_x"),
         F.col("cy").alias("cell_y"),
-    )
-    off = F.expr("explode(sequence(-1, 1))")
-    b = (
-        cust.withColumn("dx", off)
-        .withColumn("dy", off)
-        .select(
-            F.col("ck").alias("ck_b"),
-            F.col("lat").alias("lat_b"),
-            F.col("lon").alias("lon_b"),
-            (F.col("cx") + F.col("dx")).alias("cell_x"),
-            (F.col("cy") + F.col("dy")).alias("cell_y"),
-        )
     )
     d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
         F.col("lon_a") - F.col("lon_b")
     ) * (F.col("lon_a") - F.col("lon_b"))
-    return (
+    pairs = (
         a.join(b, ["cell_x", "cell_y"])
-        .where(F.col("ck_a") < F.col("ck_b"))
-        .select("ck_a", "ck_b", d2.alias("dist2"))
+        .where(
+            (~F.col("same_cell")) | (F.col("ck_a") < F.col("ck_b"))
+        )
+        .select(
+            F.least("ck_a", "ck_b").alias("ck_lo"),
+            F.greatest("ck_a", "ck_b").alias("ck_hi"),
+            d2.alias("dist2"),
+        )
         .where(F.col("dist2") <= _R2_PAIRS)
+    )
+    return (
+        pairs.select(
+            F.col("ck_lo").alias("ck_a"), F.col("ck_hi").alias("ck_b"), "dist2"
+        )
         .orderBy("dist2", "ck_a", "ck_b")
         .limit(20)
     )
@@ -242,29 +266,67 @@ def q_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and farthest assigned distance. The territory/fulfillment-zone
     design query.
 
-    Scale: the hub side is SMALL by definition — broadcast it, fan each
-    customer to |hubs| candidates map-side, and take the per-customer
-    argmin with a window over those candidates (partitioned by the
-    customer key). Linear in customers, no shuffle before the bounded
-    per-hub census. The deterministic (dist2, hk) tie-break makes the
-    assignment engine-independent."""
+    Scale: exact NN with GRID PRUNING and a guaranteed fallback. Phase
+    1 joins customers to the broadcast 3×3 hub stencil of their cell
+    and takes the per-customer ``min(struct(dist2, hk))`` — a
+    partial-aggregable argmin (no Window, no fan-out shuffle). A
+    stencil winner within the CELL EDGE is provably the global nearest:
+    any hub outside the 3×3 stencil is at axis distance > one cell
+    edge. Phase 2 fans ONLY the unresolved customers (empty stencil, or
+    winner beyond the edge) out to all |hubs| — on a uniform layout
+    that's a vanishing fraction, so total work is ~|customers| × (hubs
+    per stencil) instead of |customers| × |hubs|. The first two
+    spellings measured their way here: a window argmin over the full
+    fan-out (1.5 B-row shuffle sort at the 10× probe), then a map-side
+    argmin over the full fan-out (still |customers| × |hubs| compares).
+    The oracle stays the naive quadratic row_number, so the hash match
+    certifies the pruning loses no assignment."""
     cust = _cust(spark, sf_dir)
-    hubs = F.broadcast(_hubs(spark, sf_dir).select(
+    hubs = _hubs(spark, sf_dir).select(
         F.col("hk"), F.col("lat").alias("hlat"), F.col("lon").alias("hlon")
-    ))
+    )
     d2 = (F.col("lat") - F.col("hlat")) * (F.col("lat") - F.col("hlat")) + (
         F.col("lon") - F.col("hlon")
     ) * (F.col("lon") - F.col("hlon"))
-    cand = cust.join(hubs).select("ck", "bal_cents", "hk", d2.alias("dist2"))
-    w = Window.partitionBy("ck").orderBy("dist2", "hk")
-    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    off = F.expr("explode(sequence(-1, 1))")
+    hub9 = F.broadcast(
+        hubs.withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "hk",
+            "hlat",
+            "hlon",
+            (F.expr(f"hlat div {_CELL}") + F.col("dx")).alias("cell_x"),
+            (F.expr(f"hlon div {_CELL}") + F.col("dy")).alias("cell_y"),
+        )
+    )
+    cell = [
+        F.expr(f"lat div {_CELL}").alias("cell_x"),
+        F.expr(f"lon div {_CELL}").alias("cell_y"),
+    ]
+    stencil_best = (
+        cust.select("ck", "bal_cents", "lat", "lon", *cell)
+        .join(hub9, ["cell_x", "cell_y"])
+        .groupBy("ck", "bal_cents")
+        .agg(F.min(F.struct(d2.alias("dist2"), F.col("hk"))).alias("b"))
+    )
+    resolved = stencil_best.where(F.col("b.dist2") <= F.lit(_CELL * _CELL))
+    # customers with no stencil hub, or whose stencil winner sits beyond
+    # the cell edge (an outside hub could still beat it): full fan-out
+    unresolved = (
+        cust.join(resolved.select("ck"), "ck", "left_anti")
+        .join(F.broadcast(hubs))
+        .groupBy("ck", "bal_cents")
+        .agg(F.min(F.struct(d2.alias("dist2"), F.col("hk"))).alias("b"))
+    )
+    best = resolved.unionByName(unresolved)
     return (
-        best.groupBy(F.col("hk").alias("hub_key"))
+        best.groupBy(F.col("b.hk").alias("hub_key"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("bal_cents").cast("long").alias("bal_cents"),
-            F.min("dist2").cast("long").alias("closest_dist2"),
-            F.max("dist2").cast("long").alias("farthest_dist2"),
+            F.min("b.dist2").cast("long").alias("closest_dist2"),
+            F.max("b.dist2").cast("long").alias("farthest_dist2"),
         )
         .orderBy("hub_key")
     )

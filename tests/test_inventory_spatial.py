@@ -117,6 +117,9 @@ def test_fifo_allocation_matches_queue_walk_on_corpus(spark, sf_dir):
 _CELL = 64  # small grid for the fuzz — the property is scale-free
 
 
+_FORWARD = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))  # af2's half-stencil
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     pts=st.lists(
@@ -125,19 +128,40 @@ _CELL = 64  # small grid for the fuzz — the property is scale-free
             st.integers(min_value=0, max_value=1023),
         ),
         max_size=24,
+        unique=True,
     ),
     r=st.integers(min_value=0, max_value=_CELL),
 )
 def test_grid_stencil_covers_all_in_radius_pairs(pts, r):
-    """For any radius ≤ the cell edge, every pair within the radius falls
-    in the 3×3 neighbor stencil of either point's cell — af2/af5's
-    candidate-generation completeness, as pure arithmetic."""
+    """For any radius ≤ the cell edge: (a) every in-radius pair falls in
+    the 3×3 neighbor stencil of either point's cell (af5's completeness);
+    (b) af2's FORWARD half-stencil generates every unordered distinct
+    pair in the stencil EXACTLY once — cross-cell pairs by the single
+    forward direction matching their cell difference, same-cell pairs by
+    index order. Pure arithmetic, scale-free."""
     r2 = r * r
     for ax, ay in pts:
         for bx, by in pts:
             if (ax - bx) ** 2 + (ay - by) ** 2 <= r2:
                 assert abs(ax // _CELL - bx // _CELL) <= 1
                 assert abs(ay // _CELL - by // _CELL) <= 1
+    # forward-stencil exactly-once: replicate af2's candidate generation
+    cells = [(x // _CELL, y // _CELL) for x, y in pts]
+    generated: list[tuple[int, int]] = []
+    for i, (cx, cy) in enumerate(cells):  # side A fans forward
+        for dx, dy in _FORWARD:
+            for j, cb in enumerate(cells):  # side B stays put
+                if cb == (cx + dx, cy + dy) and not (
+                    (dx, dy) == (0, 0) and not i < j
+                ):
+                    generated.append((min(i, j), max(i, j)))
+    in_stencil = [
+        (i, j)
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if abs(cells[i][0] - cells[j][0]) <= 1 and abs(cells[i][1] - cells[j][1]) <= 1
+    ]
+    assert sorted(generated) == in_stencil
 
 
 def test_coordinate_derivation_is_not_a_lattice(spark, sf_dir):

@@ -1386,6 +1386,10 @@ def test_geo_hub_fanout_and_coverage_broadcast(q):
     assert "BroadcastNestedLoopJoin" in phys3, phys3  # the |hubs| fan-out
     assert "CartesianProduct" not in phys3, phys3
     assert "SortMergeJoin" not in phys3, phys3
+    # the argmin must be the partial-aggregable min(struct) — a Window
+    # here means the fan-out shuffles before collapsing (the 10×-probe
+    # regression this spelling replaced)
+    assert "Window" not in phys3, phys3
     phys5 = physical_plan(q("q_geo_coverage"))
     assert "BroadcastHashJoin" in phys5, phys5
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
