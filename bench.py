@@ -43,7 +43,11 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 # perf-tracked round-over-round. Round 9 adds q_seq_user_signature: the
 # per-entity ordered-history materialization (collect_list + array_sort)
 # whose cost profile — aggregation-state payload, not key cardinality —
-# no other headline query exercises.
+# no other headline query exercises; late round 9 adds
+# q_inv_fifo_allocation: the cumulative-interval self-join (one window
+# lineage consumed by three plan branches under ReusedExchange), the
+# shape whose checkpoint-placement regression the 10× probe caught —
+# kept perf-visible so it can't silently return.
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -57,6 +61,7 @@ HEADLINE = (
     "q_text_quality",
     "q_dedup_clusters",
     "q_seq_user_signature",
+    "q_inv_fifo_allocation",
 )
 
 N_SERIES = 3
@@ -101,15 +106,18 @@ def main() -> None:
     }
 
     # r1-r3 benched only the first 7 queries; the LLM-surface ops were added
-    # in round 4 and the iterative q_dedup_clusters in round 7. The
-    # subtotals keep round-over-round comparisons honest without changing
-    # the contracted top-level fields: compare r3_comparable_7q_sec across
-    # all rounds, r6_comparable_10q_sec against BENCH_r0{5,6}.json's
+    # in round 4, the iterative q_dedup_clusters in round 7, the sequence
+    # signature early in round 9 and the FIFO interval join late in round 9.
+    # The subtotals keep round-over-round comparisons honest without
+    # changing the contracted top-level fields: compare r3_comparable_7q_sec
+    # across all rounds, r6_comparable_10q_sec against BENCH_r0{5,6}.json's
     # "value", r8_comparable_11q_sec against BENCH_r0{7,8}.json's "value",
-    # and "value" itself only from round 9 on.
+    # r9_comparable_12q_sec against BENCH_r09.json's "value", and "value"
+    # itself only from round 10 on.
     legacy_7q = round(sum(medians[n] for n in HEADLINE[:7]), 3)
     legacy_10q = round(sum(medians[n] for n in HEADLINE[:10]), 3)
     legacy_11q = round(sum(medians[n] for n in HEADLINE[:11]), 3)
+    legacy_12q = round(sum(medians[n] for n in HEADLINE[:12]), 3)
     print(
         json.dumps(
             {
@@ -122,6 +130,7 @@ def main() -> None:
                 "r3_comparable_7q_sec": legacy_7q,
                 "r6_comparable_10q_sec": legacy_10q,
                 "r8_comparable_11q_sec": legacy_11q,
+                "r9_comparable_12q_sec": legacy_12q,
             }
         )
     )

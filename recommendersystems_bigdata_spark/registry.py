@@ -133,6 +133,14 @@ _TAIL2 = (
     # (r9–r14) are unaffected: the modules sit past every first-50 cut.
     f"{_PKG}.operators.inventory",
     f"{_PKG}.operators.spatial",
+    # Round-9 tenth batch: workday/calendar analytics (§2.AG) and
+    # deterministic sketch set algebra (§2.AH). Leads the SECOND pass
+    # through the round-6 slot (rounds 16 — seventh amendment, see
+    # below); the r16 presample pair is committed alongside. All
+    # committed windows (r9–r15) are unaffected: the modules sit past
+    # every first-50 cut, including r15's (10 lead keys + 40 overflow).
+    f"{_PKG}.operators.calendar",
+    f"{_PKG}.operators.sketchops",
 )
 
 
@@ -259,6 +267,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         )
         return overflow + tuple(m for m in base if m not in overflow)
     if (rnd - 10) % 5 == 1:
+        # Seventh amendment: the tenth round-9 batch (calendar +
+        # sketchops, 8 keys) leads the SECOND pass through this slot
+        # (round 16); round 11 keeps its committed tsdiag-led window.
+        if rnd >= 16:
+            lead = (
+                f"{_PKG}.operators.calendar",
+                f"{_PKG}.operators.sketchops",
+            )
+            rest = _module_order(11)
+            return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.operators.tsdiag",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 2:

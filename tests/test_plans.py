@@ -490,6 +490,10 @@ _BNLJ_ALLOWED = {
     # small by definition (fulfillment hubs, not a fact) — and the
     # per-customer argmin prunes the fan-out before any shuffle
     "q_geo_nearest_hub",
+    # §2.AH ah1/ah2: the pair fan-out broadcasts a ≤20-row literal
+    # type-pair grid over the bounded per-user membership relation
+    "q_kmv_jaccard_matrix",
+    "q_kmv_containment_matrix",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking

@@ -41,8 +41,9 @@ def test_rounds_4_to_14_cover_all_keys():
     round-9 order) plus every later round-9 batch — leads round 10, the
     overflow keys past round 10's own 50-key cut are picked up by
     round 11's tsdiag lead, round 12's lifecycle lead, round 13's
-    receval lead and round 14's integrity lead, and the ninth batch
-    (inventory + spatial) leads round 15, per registry.py's six
+    receval lead and round 14's integrity lead, the ninth batch
+    (inventory + spatial) leads round 15 and the tenth (calendar +
+    sketchops) leads round 16, per registry.py's seven
     amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -55,7 +56,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -90,6 +91,10 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.inventory",
         f"{registry._PKG}.operators.spatial",
     )
+    tenth_lead = (
+        f"{registry._PKG}.operators.calendar",
+        f"{registry._PKG}.operators.sketchops",
+    )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0 and rnd >= 15:
@@ -103,6 +108,13 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
             # the round-5 cycle slot leads with the _TAIL2 overflow modules
             assert registry._module_order(rnd) == overflow + tuple(
                 m for m in base if m not in overflow
+            )
+        elif (rnd - 10) % 5 == 1 and rnd >= 16:
+            # seventh amendment: the SECOND pass through the round-6 slot
+            # (round 16) leads with the tenth batch (calendar +
+            # sketchops); round 11 keeps its committed tsdiag window
+            assert registry._module_order(rnd) == tenth_lead + tuple(
+                m for m in registry._module_order(11) if m not in tenth_lead
             )
         elif (rnd - 10) % 5 == 1:
             # the round-6 slot leads with the overflow's own overflow:
@@ -153,12 +165,13 @@ def test_post_presample_tail_outside_pinned_windows():
     # (lifecycle, #105..#109) leads round 12, the seventh (receval,
     # #110..#114) leads round 13 and the eighth (integrity, #115..#117)
     # leads round 14
-    # ... and the ninth batch (inventory + spatial, #118..#127) leads
-    # round 15 (the sixth amendment)
+    # ... the ninth batch (inventory + spatial, #118..#127) leads
+    # round 15 (the sixth amendment), and the tenth (calendar +
+    # sketchops, #128..#135) leads round 16 (the seventh)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
-        | set(_first50(15))
+        | set(_first50(15)) | set(_first50(16))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -216,6 +229,17 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_geo_coverage",
     ):
         assert k in set(_first50(15)), k
+    for k in (
+        "q_cal_business_latency",
+        "q_cal_weekday_profile",
+        "q_cal_eom_effect",
+        "q_cal_week_rollup",
+        "q_cal_ship_weekend_share",
+        "q_kmv_jaccard_matrix",
+        "q_kmv_containment_matrix",
+        "q_bitmap_overlap_matrix",
+    ):
+        assert k in set(_first50(16)), k
 
 
 def test_progress_round_parse_is_safe():
