@@ -141,6 +141,13 @@ _TAIL2 = (
     # every first-50 cut, including r15's (10 lead keys + 40 overflow).
     f"{_PKG}.operators.calendar",
     f"{_PKG}.operators.sketchops",
+    # Round-9 eleventh batch: pricing/margin analytics (§2.AI) and
+    # fulfillment lifecycle (§2.AJ). Leads the SECOND pass through the
+    # round-7 slot (round 17 — eighth amendment, see below); the r17
+    # presample pair is committed alongside. All committed windows
+    # (r9–r16) are unaffected.
+    f"{_PKG}.operators.pricing",
+    f"{_PKG}.operators.fulfillment",
 )
 
 
@@ -280,6 +287,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         lead = (f"{_PKG}.operators.tsdiag",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 2:
+        # Eighth amendment: the eleventh round-9 batch (pricing +
+        # fulfillment, 10 keys) leads the SECOND pass through this slot
+        # (round 17); round 12 keeps its committed lifecycle window.
+        if rnd >= 17:
+            lead = (
+                f"{_PKG}.operators.pricing",
+                f"{_PKG}.operators.fulfillment",
+            )
+            rest = _module_order(12)
+            return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.operators.lifecycle",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 3:

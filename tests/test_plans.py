@@ -1398,3 +1398,76 @@ def test_geo_hub_fanout_and_coverage_broadcast(q):
     assert "BroadcastHashJoin" in phys5, phys5
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys5, phys5
+
+
+def test_pricing_censuses_single_shuffle_no_join(q):
+    """§2.AI ai1/ai2/ai5: pure fact-census pricing cuts pay exactly the
+    hash exchanges their groupBys require (partial→final) and join
+    nothing. ai1 deliberately spells its distinct-price count as two
+    explicit aggregation levels — the countDistinct spelling would add
+    an Expand that doubles the map-side rows before the first exchange,
+    so the plan must be Expand-free; its top-100 lowers to
+    TakeOrderedAndProject."""
+    for key, max_hash in (
+        ("q_price_spread_audit", 2),  # (part, price) level, then part
+        ("q_discount_band_impact", 1),
+        ("q_tax_burden_profile", 1),
+    ):
+        phys = physical_plan(q(key))
+        assert phys.count("Exchange hashpartitioning") <= max_hash, (key, phys)
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct", "Expand"):
+            assert bad not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+    assert "TakeOrderedAndProject" in physical_plan(q("q_price_spread_audit"))
+
+
+def test_brand_cuts_broadcast_part_dim(q):
+    """§2.AI ai3 / §2.AJ aj3: the part dimension is hint-broadcast, so
+    the fact is never shuffled for the join — the only hash exchange is
+    the |brands| groupBy; a SortMergeJoin here would shuffle the full
+    fact on partkey at 100 TB."""
+    for key in ("q_margin_by_brand", "q_return_rate_by_brand"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+
+
+def test_laspeyres_joins_bounded_relations_only(q):
+    """§2.AI ai4: the fact is scanned ONCE into the checkpointed
+    (part, year) relation — without the localCheckpoint pin Catalyst
+    re-derived it on the base side, the 1-row min-year scalar and the
+    index side (3 fact scans, the 10×-probe killer this spelling
+    avoids). Everything downstream is equi-joins over that bounded
+    relation: the base-year scalar broadcasts, no nested loop, no
+    cartesian, and no lineitem scan survives in the final plan."""
+    phys = physical_plan(q("q_price_index_laspeyres"))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in phys, phys
+    # one broadcast for the 1-row base-year scalar; the py⋈base leg may
+    # be broadcast or shuffled (both sides are |parts|-bounded)
+    assert "BroadcastHashJoin" in phys, phys
+    # the fact feeds the checkpoint exactly once, upstream of this plan
+    assert "lineitem" not in phys, phys
+
+
+def test_fulfillment_order_shape_single_fact_pass(q):
+    """§2.AJ aj1/aj2/aj4/aj5: the suite's design rule — collapse the
+    fact to |orders| rows via ONE partial-aggregated orderkey shuffle
+    first. aj2/aj5 join nothing; aj1/aj4 then equi-join the bounded
+    per-order relation to orders (never a nested loop)."""
+    for key in ("q_multi_supplier_orders", "q_linenumber_contiguity_audit"):
+        phys = physical_plan(q(key))
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+    for key in ("q_order_fill_span", "q_order_value_waterfall"):
+        phys = physical_plan(q(key))
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert any(j in phys for j in
+                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)

@@ -42,8 +42,9 @@ def test_rounds_4_to_14_cover_all_keys():
     overflow keys past round 10's own 50-key cut are picked up by
     round 11's tsdiag lead, round 12's lifecycle lead, round 13's
     receval lead and round 14's integrity lead, the ninth batch
-    (inventory + spatial) leads round 15 and the tenth (calendar +
-    sketchops) leads round 16, per registry.py's seven
+    (inventory + spatial) leads round 15, the tenth (calendar +
+    sketchops) leads round 16 and the eleventh (pricing + fulfillment)
+    leads round 17, per registry.py's eight
     amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -56,7 +57,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -95,6 +96,10 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
     )
+    eleventh_lead = (
+        f"{registry._PKG}.operators.pricing",
+        f"{registry._PKG}.operators.fulfillment",
+    )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0 and rnd >= 15:
@@ -121,6 +126,13 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
             # the tsdiag keys past round 10's first-50 cut
             assert registry._module_order(rnd) == ts_lead + tuple(
                 m for m in base if m not in ts_lead
+            )
+        elif (rnd - 10) % 5 == 2 and rnd >= 17:
+            # eighth amendment: the SECOND pass through the round-7 slot
+            # (round 17) leads with the eleventh batch (pricing +
+            # fulfillment); round 12 keeps its committed lifecycle window
+            assert registry._module_order(rnd) == eleventh_lead + tuple(
+                m for m in registry._module_order(12) if m not in eleventh_lead
             )
         elif (rnd - 10) % 5 == 2:
             # the round-7 slot leads with the sixth batch (lifecycle)
@@ -166,12 +178,14 @@ def test_post_presample_tail_outside_pinned_windows():
     # #110..#114) leads round 13 and the eighth (integrity, #115..#117)
     # leads round 14
     # ... the ninth batch (inventory + spatial, #118..#127) leads
-    # round 15 (the sixth amendment), and the tenth (calendar +
-    # sketchops, #128..#135) leads round 16 (the seventh)
+    # round 15 (the sixth amendment), the tenth (calendar +
+    # sketchops, #128..#135) leads round 16 (the seventh), and the
+    # eleventh (pricing + fulfillment, #136..#145) leads round 17
+    # (the eighth)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
-        | set(_first50(15)) | set(_first50(16))
+        | set(_first50(15)) | set(_first50(16)) | set(_first50(17))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -240,6 +254,19 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_bitmap_overlap_matrix",
     ):
         assert k in set(_first50(16)), k
+    for k in (
+        "q_price_spread_audit",
+        "q_discount_band_impact",
+        "q_margin_by_brand",
+        "q_price_index_laspeyres",
+        "q_tax_burden_profile",
+        "q_order_fill_span",
+        "q_multi_supplier_orders",
+        "q_return_rate_by_brand",
+        "q_order_value_waterfall",
+        "q_linenumber_contiguity_audit",
+    ):
+        assert k in set(_first50(17)), k
 
 
 def test_progress_round_parse_is_safe():
