@@ -263,13 +263,13 @@ def q_margin_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     joined AS (
       SELECT py.yr,
-             CAST(sum(py.price_micro * b.q0) AS BIGINT) AS num,
-             CAST(sum(b.p0 * b.q0) AS BIGINT) AS den,
+             sum(CAST(py.price_micro AS HUGEINT) * b.q0) AS num,
+             sum(CAST(b.p0 AS HUGEINT) * b.q0) AS den,
              CAST(count(*) AS BIGINT) AS n_parts
       FROM py JOIN base b ON py.p = b.p
       GROUP BY 1
     )
-    SELECT yr, n_parts, (10000 * num) // den AS index_bp
+    SELECT yr, n_parts, CAST((10000 * num) // den AS BIGINT) AS index_bp
     FROM joined ORDER BY yr
     """,
 )
@@ -280,8 +280,14 @@ def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity — ``index_y = Σ p_y·q₀ / Σ p₀·q₀`` in bp. Only parts
     traded in both years enter year y's basket (each year's ratio uses
     its own matched denominator), the standard matched-sample
-    convention. Overflow: price_micro ≤ ~10⁹, q₀ ≤ ~10⁴ per part,
-    ≤ 2×10⁵ parts → Σ ≤ 2×10¹⁸ < 2⁶³ at 10× corpus shapes.
+    convention. Overflow: the cross-multiplied basket sums exceed 2⁶³
+    — the 10× probe caught ``10⁴·Σ(p·q₀)`` overflowing ALREADY AT
+    sf0.1 (price_micro ~2×10⁹ × Σqty ~10³ × 2×10⁴ parts ≈ 4×10¹⁶,
+    ×10⁴ ≈ 4×10²⁰) — so num/den accumulate in 128-bit integers
+    (DECIMAL(38,0) in Spark, HUGEINT in DuckDB; identical truncated
+    quotient, fuzz-matched) while everything fact-side stays BIGINT.
+    The 128-bit arithmetic runs only on the bounded |parts|×|years|
+    relation, never on the fact.
 
     Scale: one (part, year) partial agg over the fact, pinned with a
     localCheckpoint — Catalyst does not reuse common subplans, so
@@ -307,17 +313,24 @@ def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         py.join(F.broadcast(base_yr), py.yr == F.col("y0"))
         .select("p", F.col("price_micro").alias("p0"), F.col("qty").alias("q0"))
     )
+    dec = "decimal(38,0)"
     joined = (
         py.join(base, "p")
         .groupBy("yr")
         .agg(
-            F.sum(F.col("price_micro") * F.col("q0")).cast("long").alias("num"),
-            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("den"),
+            F.sum(
+                F.col("price_micro").cast(dec) * F.col("q0").cast(dec)
+            ).alias("num"),
+            F.sum(F.col("p0").cast(dec) * F.col("q0").cast(dec)).alias("den"),
             F.count(F.lit(1)).cast("long").alias("n_parts"),
         )
     )
     return joined.select(
-        "yr", "n_parts", F.expr("(10000 * num) div den").alias("index_bp")
+        "yr",
+        "n_parts",
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * num) div den AS BIGINT)"
+        ).alias("index_bp"),
     ).orderBy("yr")
 
 

@@ -1471,3 +1471,6 @@ def test_fulfillment_order_shape_single_fact_pass(q):
         assert any(j in phys for j in
                    ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), (key, phys)
         assert phys.count("HashAggregate") >= 2, (key, phys)
+    # aj1's distinct-ship-day count is the explicit two-level spelling —
+    # the countDistinct Expand doubled the fact and probed 10.7× at 10×
+    assert "Expand" not in physical_plan(q("q_order_fill_span"))
