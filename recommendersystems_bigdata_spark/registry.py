@@ -148,6 +148,11 @@ _TAIL2 = (
     # (r9–r16) are unaffected.
     f"{_PKG}.operators.pricing",
     f"{_PKG}.operators.fulfillment",
+    # Round-9 twelfth batch: SQL-syntax surface (§2.AK). Leads the
+    # SECOND pass through the round-8 slot (round 18 — ninth amendment,
+    # see below); the r18 presample pair is committed alongside. All
+    # committed windows (r9–r17) are unaffected.
+    f"{_PKG}.operators.sqlsurface",
 )
 
 
@@ -300,6 +305,13 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         lead = (f"{_PKG}.operators.lifecycle",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 3:
+        # Ninth amendment: the twelfth round-9 batch (sqlsurface, 6
+        # keys) leads the SECOND pass through this slot (round 18);
+        # round 13 keeps its committed receval window.
+        if rnd >= 18:
+            lead = (f"{_PKG}.operators.sqlsurface",)
+            rest = _module_order(13)
+            return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.ml.receval",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 4:

@@ -1474,3 +1474,58 @@ def test_fulfillment_order_shape_single_fact_pass(q):
     # aj1's distinct-ship-day count is the explicit two-level spelling —
     # the countDistinct Expand doubled the fact and probed 10.7× at 10×
     assert "Expand" not in physical_plan(q("q_order_fill_span"))
+
+
+def test_nullsafe_join_is_broadcast_equi(q):
+    """§2.AK ak1: <=> must reach Catalyst as an EQUI-join key
+    (EqualNullSafe) — a BroadcastHashJoin over the hinted 25-row dim,
+    never the nested-loop fallback a non-equi null-handling spelling
+    would produce."""
+    phys = physical_plan(q("q_nullsafe_dim_match"))
+    assert "BroadcastHashJoin" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                "SortMergeJoin"):
+        assert bad not in phys, phys
+
+
+def test_lateral_tokens_generate_prunes_and_caps(q):
+    """§2.AK ak2: the LATERAL VIEW lowers to a Generate over a
+    single-column pruned scan (only `text` read), and the rank window
+    runs over the bounded (pos, token) census AFTER partial/final
+    aggregation — the fact-side plan has no join at all."""
+    plan = full_explain(q("q_lateral_token_positions"))
+    assert "Generate" in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" in read_schema[0], plan
+    for unread in ("doc_id", "lang", "source", "n_chars"):
+        assert unread not in read_schema[0], plan
+    phys = physical_plan(q("q_lateral_token_positions"))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    assert phys.count("HashAggregate") >= 2, phys
+
+
+def test_values_dim_broadcasts_localrelation(q):
+    """§2.AK ak3: the inline VALUES dim is a LocalRelation that
+    broadcasts; the only shuffle joins are the per-order collapse and
+    the orders equi-join — no nested loop anywhere."""
+    phys = physical_plan(q("q_values_sla_breach"))
+    assert "BroadcastHashJoin" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    assert "LocalTableScan" in phys or "LocalRelation" in phys, phys
+
+
+def test_sqlsurface_censuses_no_join_single_shuffle(q):
+    """§2.AK ak4/ak5/ak6: the clamp audit, try_divide census and
+    GROUP BY ALL census are one-groupBy fact passes — no join, the
+    day-of-month filter pushed (ak4 reads a filtered scan), censuses
+    partial→final."""
+    for key in ("q_eom_clamp_audit", "q_try_divide_guards",
+                "q_groupby_all_census"):
+        phys = physical_plan(q(key))
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)

@@ -43,8 +43,9 @@ def test_rounds_4_to_14_cover_all_keys():
     round 11's tsdiag lead, round 12's lifecycle lead, round 13's
     receval lead and round 14's integrity lead, the ninth batch
     (inventory + spatial) leads round 15, the tenth (calendar +
-    sketchops) leads round 16 and the eleventh (pricing + fulfillment)
-    leads round 17, per registry.py's eight
+    sketchops) leads round 16, the eleventh (pricing + fulfillment)
+    leads round 17 and the twelfth (sqlsurface) leads round 18, per
+    registry.py's nine
     amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -57,7 +58,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -100,6 +101,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
     )
+    twelfth_lead = (f"{registry._PKG}.operators.sqlsurface",)
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0 and rnd >= 15:
@@ -138,6 +140,13 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
             # the round-7 slot leads with the sixth batch (lifecycle)
             assert registry._module_order(rnd) == lc_lead + tuple(
                 m for m in base if m not in lc_lead
+            )
+        elif (rnd - 10) % 5 == 3 and rnd >= 18:
+            # ninth amendment: the SECOND pass through the round-8 slot
+            # (round 18) leads with the twelfth batch (sqlsurface);
+            # round 13 keeps its committed receval window
+            assert registry._module_order(rnd) == twelfth_lead + tuple(
+                m for m in registry._module_order(13) if m not in twelfth_lead
             )
         elif (rnd - 10) % 5 == 3:
             # the round-8 slot leads with the seventh batch (receval)
@@ -181,11 +190,13 @@ def test_post_presample_tail_outside_pinned_windows():
     # round 15 (the sixth amendment), the tenth (calendar +
     # sketchops, #128..#135) leads round 16 (the seventh), and the
     # eleventh (pricing + fulfillment, #136..#145) leads round 17
-    # (the eighth)
+    # (the eighth), and the twelfth (sqlsurface, #146..#151) leads
+    # round 18 (the ninth)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
         | set(_first50(15)) | set(_first50(16)) | set(_first50(17))
+        | set(_first50(18))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -267,6 +278,15 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_linenumber_contiguity_audit",
     ):
         assert k in set(_first50(17)), k
+    for k in (
+        "q_nullsafe_dim_match",
+        "q_lateral_token_positions",
+        "q_values_sla_breach",
+        "q_eom_clamp_audit",
+        "q_try_divide_guards",
+        "q_groupby_all_census",
+    ):
+        assert k in set(_first50(18)), k
 
 
 def test_progress_round_parse_is_safe():
