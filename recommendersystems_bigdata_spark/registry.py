@@ -153,6 +153,11 @@ _TAIL2 = (
     # see below); the r18 presample pair is committed alongside. All
     # committed windows (r9–r17) are unaffected.
     f"{_PKG}.operators.sqlsurface",
+    # Round-9 thirteenth batch: procurement / supply-risk (§2.AL).
+    # Leads the SECOND pass through the round-9 slot (round 19 — tenth
+    # amendment, see below); the r19 presample pair is committed
+    # alongside. All committed windows (r9–r18) are unaffected.
+    f"{_PKG}.operators.procurement",
 )
 
 
@@ -315,6 +320,13 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         lead = (f"{_PKG}.ml.receval",)
         return lead + tuple(m for m in base if m not in lead)
     if (rnd - 10) % 5 == 4:
+        # Tenth amendment: the thirteenth round-9 batch (procurement,
+        # 5 keys) leads the SECOND pass through this slot (round 19);
+        # round 14 keeps its committed integrity window.
+        if rnd >= 19:
+            lead = (f"{_PKG}.operators.procurement",)
+            rest = _module_order(14)
+            return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.operators.integrity",)
         return lead + tuple(m for m in base if m not in lead)
     return base

@@ -494,6 +494,10 @@ _BNLJ_ALLOWED = {
     # type-pair grid over the bounded per-user membership relation
     "q_kmv_jaccard_matrix",
     "q_kmv_containment_matrix",
+    # §2.AL al2/al5: 1-row revenue-total broadcast vs the 3-row band /
+    # tier census — O(3·1)
+    "q_single_source_exposure",
+    "q_acctbal_risk_tiers",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1529,3 +1533,53 @@ def test_sqlsurface_censuses_no_join_single_shuffle(q):
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in phys, (key, phys)
         assert phys.count("HashAggregate") >= 2, (key, phys)
+
+
+def test_procurement_fact_pays_one_shuffle_dims_broadcast(q):
+    """§2.AL al1/al3: the supplier dim is hint-broadcast onto the fact
+    (never a fact shuffle for the join) and the share/rank windows run
+    AFTER the (nation, supplier) partial agg — al3's three windows
+    share one nation partitioning, so the bounded relation pays a
+    single exchange+sort."""
+    for key in ("q_supply_hhi_by_nation", "q_supplier_pareto_depth"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+    # al3: one window sort partitioning (nk) — not one per window
+    phys3 = physical_plan(q("q_supplier_pareto_depth"))
+    assert phys3.count("Window") <= 2, phys3
+
+
+def test_single_source_two_level_agg_expand_free(q):
+    """§2.AL al2: the distinct-supplier count is the explicit two-level
+    (part, supplier) → part aggregation — no Expand, no join beyond the
+    broadcast 1-row total."""
+    phys = physical_plan(q("q_single_source_exposure"))
+    for bad in ("Expand", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+    assert phys.count("HashAggregate") >= 2, phys
+
+
+def test_degree_profile_reuses_checkpointed_edges(q):
+    """§2.AL al4: the distinct edge set is pinned with localCheckpoint —
+    the final plan must NOT contain a lineitem scan (both degree sides
+    read the checkpoint, the fact was scanned exactly once upstream)."""
+    phys = physical_plan(q("q_supplier_part_degree"))
+    assert "lineitem" not in phys, phys
+    for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_acctbal_tiers_left_join_under_dim(q):
+    """§2.AL al5: the per-supplier revenue rollup joins UNDER the dim
+    via an equi-join (broadcast at test scale) — zero-revenue suppliers
+    survive; no nested loop beyond the 1-row total broadcast."""
+    phys = physical_plan(q("q_acctbal_risk_tiers"))
+    for bad in ("CartesianProduct",):
+        assert bad not in phys, phys
+    assert any(j in phys for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys

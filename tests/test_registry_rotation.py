@@ -44,8 +44,8 @@ def test_rounds_4_to_14_cover_all_keys():
     receval lead and round 14's integrity lead, the ninth batch
     (inventory + spatial) leads round 15, the tenth (calendar +
     sketchops) leads round 16, the eleventh (pricing + fulfillment)
-    leads round 17 and the twelfth (sqlsurface) leads round 18, per
-    registry.py's nine
+    leads round 17, the twelfth (sqlsurface) leads round 18 and the
+    thirteenth (procurement) leads round 19, per registry.py's ten
     amendment comments) has appeared in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
@@ -58,7 +58,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -102,6 +102,7 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.fulfillment",
     )
     twelfth_lead = (f"{registry._PKG}.operators.sqlsurface",)
+    thirteenth_lead = (f"{registry._PKG}.operators.procurement",)
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0 and rnd >= 15:
@@ -153,6 +154,13 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
             assert registry._module_order(rnd) == re_lead + tuple(
                 m for m in base if m not in re_lead
             )
+        elif (rnd - 10) % 5 == 4 and rnd >= 19:
+            # tenth amendment: the SECOND pass through the round-9 slot
+            # (round 19) leads with the thirteenth batch (procurement);
+            # round 14 keeps its committed integrity window
+            assert registry._module_order(rnd) == thirteenth_lead + tuple(
+                m for m in registry._module_order(14) if m not in thirteenth_lead
+            )
         else:
             # the round-9 slot leads with the eighth batch (integrity)
             assert registry._module_order(rnd) == in_lead + tuple(
@@ -190,13 +198,14 @@ def test_post_presample_tail_outside_pinned_windows():
     # round 15 (the sixth amendment), the tenth (calendar +
     # sketchops, #128..#135) leads round 16 (the seventh), and the
     # eleventh (pricing + fulfillment, #136..#145) leads round 17
-    # (the eighth), and the twelfth (sqlsurface, #146..#151) leads
-    # round 18 (the ninth)
+    # (the eighth), the twelfth (sqlsurface, #146..#151) leads
+    # round 18 (the ninth), and the thirteenth (procurement,
+    # #152..#156) leads round 19 (the tenth)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
         | set(_first50(15)) | set(_first50(16)) | set(_first50(17))
-        | set(_first50(18))
+        | set(_first50(18)) | set(_first50(19))
     )
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
@@ -287,6 +296,14 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_groupby_all_census",
     ):
         assert k in set(_first50(18)), k
+    for k in (
+        "q_supply_hhi_by_nation",
+        "q_single_source_exposure",
+        "q_supplier_pareto_depth",
+        "q_supplier_part_degree",
+        "q_acctbal_risk_tiers",
+    ):
+        assert k in set(_first50(19)), k
 
 
 def test_progress_round_parse_is_safe():
