@@ -158,7 +158,19 @@ _TAIL2 = (
     # amendment, see below); the r19 presample pair is committed
     # alongside. All committed windows (r9–r18) are unaffected.
     f"{_PKG}.operators.procurement",
+    # Round-9 fourteenth batch onward: forecast backtesting (§2.AM) and
+    # the later same-session suites. They lead round 20 — the THIRD pass
+    # through the round-5 slot (eleventh amendment, see below; rounds
+    # 10 and 15 keep their committed windows verbatim); the r20
+    # presample pair is committed alongside. All committed windows
+    # (r9–r19) are unaffected: the modules sit past every first-50 cut.
+    f"{_PKG}.operators.forecast",
 )
+
+# Modules that lead the round-20 window (eleventh amendment). Appended
+# to as later round-9 batches land; the r20 presample pair is
+# regenerated whenever this tuple changes.
+_R20_LEAD = (f"{_PKG}.operators.forecast",)
 
 
 def _driver_round() -> int:
@@ -254,6 +266,13 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     # overflow-led window verbatim; a fresh r15 pair is committed.
     base = _module_order(5 + (rnd - 10) % 5)
     if (rnd - 10) % 5 == 0:
+        # Eleventh amendment: the round-9 batches added after every
+        # second-cycle lead slot was assigned (forecast §2.AM onward)
+        # lead the THIRD pass through this slot (round 20); rounds 10
+        # and 15 keep their committed windows verbatim.
+        if rnd >= 20:
+            rest = _module_order(15)
+            return _R20_LEAD + tuple(m for m in rest if m not in _R20_LEAD)
         # Sixth amendment: the ninth round-9 batch (inventory + spatial,
         # 10 keys) landed after every first-cycle lead slot was assigned,
         # so the SECOND pass through this slot (rounds 15/20) leads with

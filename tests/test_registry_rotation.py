@@ -45,8 +45,10 @@ def test_rounds_4_to_14_cover_all_keys():
     (inventory + spatial) leads round 15, the tenth (calendar +
     sketchops) leads round 16, the eleventh (pricing + fulfillment)
     leads round 17, the twelfth (sqlsurface) leads round 18 and the
-    thirteenth (procurement) leads round 19, per registry.py's ten
-    amendment comments) has appeared in a driver CORRECTNESS sample."""
+    thirteenth (procurement) leads round 19 and the fourteenth-onward
+    (forecast + later same-session suites, `registry._R20_LEAD`) leads
+    round 20, per registry.py's eleven amendment comments) has appeared
+    in a driver CORRECTNESS sample."""
     registry.load_all()
     import importlib
 
@@ -58,7 +60,7 @@ def test_rounds_4_to_14_cover_all_keys():
         importlib.import_module(mod)
         legacy.extend(k for k, fn in registry.QUERIES.items() if fn.__module__ == mod)
     sampled.update(legacy[:50])
-    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19):
+    for rnd in (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20):
         sampled.update(_first50(rnd))
     missing = set(registry.QUERIES) - sampled
     assert not missing, f"never driver-sampled: {sorted(missing)}"
@@ -105,7 +107,16 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     thirteenth_lead = (f"{registry._PKG}.operators.procurement",)
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
-        if (rnd - 10) % 5 == 0 and rnd >= 15:
+        if (rnd - 10) % 5 == 0 and rnd >= 20:
+            # eleventh amendment: the THIRD pass through the round-5 slot
+            # (round 20) leads with the batches added after every
+            # second-cycle slot was assigned (registry._R20_LEAD);
+            # rounds 10 and 15 keep their committed windows
+            assert registry._module_order(rnd) == registry._R20_LEAD + tuple(
+                m for m in registry._module_order(15)
+                if m not in registry._R20_LEAD
+            )
+        elif (rnd - 10) % 5 == 0 and rnd >= 15:
             # sixth amendment: the SECOND pass through the round-5 slot
             # (rounds 15/20) leads with the ninth batch (inventory +
             # spatial); round 10 keeps its committed overflow window
@@ -201,12 +212,15 @@ def test_post_presample_tail_outside_pinned_windows():
     # (the eighth), the twelfth (sqlsurface, #146..#151) leads
     # round 18 (the ninth), and the thirteenth (procurement,
     # #152..#156) leads round 19 (the tenth)
+    # ... and the fourteenth-onward batches (forecast §2.AM and later
+    # same-session suites) lead round 20 (the eleventh amendment)
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
         | set(_first50(15)) | set(_first50(16)) | set(_first50(17))
-        | set(_first50(18)) | set(_first50(19))
+        | set(_first50(18)) | set(_first50(19)) | set(_first50(20))
     )
+    assert "q_fc_snaive_backtest" in set(_first50(20))
     assert "q_attribution_lag" in set(_first50(10))
     assert "q_expect_ranges" in set(_first50(10))
     assert "q_join_point_in_interval" in set(_first50(10))
