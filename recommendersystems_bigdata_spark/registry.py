@@ -165,12 +165,16 @@ _TAIL2 = (
     # presample pair is committed alongside. All committed windows
     # (r9–r19) are unaffected: the modules sit past every first-50 cut.
     f"{_PKG}.operators.forecast",
+    f"{_PKG}.operators.bagops",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
 # to as later round-9 batches land; the r20 presample pair is
 # regenerated whenever this tuple changes.
-_R20_LEAD = (f"{_PKG}.operators.forecast",)
+_R20_LEAD = (
+    f"{_PKG}.operators.forecast",
+    f"{_PKG}.operators.bagops",
+)
 
 
 def _driver_round() -> int:
