@@ -166,6 +166,7 @@ _TAIL2 = (
     # (r9–r19) are unaffected: the modules sit past every first-50 cut.
     f"{_PKG}.operators.forecast",
     f"{_PKG}.operators.bagops",
+    f"{_PKG}.ml.lexstats",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -174,6 +175,7 @@ _TAIL2 = (
 _R20_LEAD = (
     f"{_PKG}.operators.forecast",
     f"{_PKG}.operators.bagops",
+    f"{_PKG}.ml.lexstats",
 )
 
 
