@@ -167,6 +167,7 @@ _TAIL2 = (
     f"{_PKG}.operators.forecast",
     f"{_PKG}.operators.bagops",
     f"{_PKG}.ml.lexstats",
+    f"{_PKG}.operators.robust",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -176,6 +177,7 @@ _R20_LEAD = (
     f"{_PKG}.operators.forecast",
     f"{_PKG}.operators.bagops",
     f"{_PKG}.ml.lexstats",
+    f"{_PKG}.operators.robust",
 )
 
 
