@@ -168,6 +168,7 @@ _TAIL2 = (
     f"{_PKG}.operators.bagops",
     f"{_PKG}.ml.lexstats",
     f"{_PKG}.operators.robust",
+    f"{_PKG}.streaming.stream_outer",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -178,6 +179,7 @@ _R20_LEAD = (
     f"{_PKG}.operators.bagops",
     f"{_PKG}.ml.lexstats",
     f"{_PKG}.operators.robust",
+    f"{_PKG}.streaming.stream_outer",
 )
 
 
