@@ -169,6 +169,7 @@ _TAIL2 = (
     f"{_PKG}.ml.lexstats",
     f"{_PKG}.operators.robust",
     f"{_PKG}.streaming.stream_outer",
+    f"{_PKG}.operators.winsurface",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -180,6 +181,7 @@ _R20_LEAD = (
     f"{_PKG}.ml.lexstats",
     f"{_PKG}.operators.robust",
     f"{_PKG}.streaming.stream_outer",
+    f"{_PKG}.operators.winsurface",
 )
 
 
