@@ -170,6 +170,7 @@ _TAIL2 = (
     f"{_PKG}.operators.robust",
     f"{_PKG}.streaming.stream_outer",
     f"{_PKG}.operators.winsurface",
+    f"{_PKG}.operators.migration",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -182,6 +183,7 @@ _R20_LEAD = (
     f"{_PKG}.operators.robust",
     f"{_PKG}.streaming.stream_outer",
     f"{_PKG}.operators.winsurface",
+    f"{_PKG}.operators.migration",
 )
 
 
