@@ -1583,3 +1583,107 @@ def test_acctbal_tiers_left_join_under_dim(q):
         assert bad not in phys, phys
     assert any(j in phys for j in
                ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys
+
+
+def test_forecast_fact_pass_pinned_by_checkpoint(q):
+    """§2.AM: the monthly segment×month aggregate is localCheckpoint-
+    pinned; the final plan must NOT re-scan orders (the spine bounds and
+    the actual-join both branch from the checkpoint), and the spine join
+    stays an equi-join over the bounded relation — never a nested loop."""
+    for key in ("q_fc_snaive_backtest", "q_fc_accuracy_summary"):
+        phys = physical_plan(q(key))
+        assert "orders" not in phys, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    # am4's lag + two cumulative windows share ONE segment partitioning:
+    # at most one exchange feeds the window stack
+    phys4 = physical_plan(q("q_fc_tracking_signal"))
+    assert phys4.count("Window") <= 3, phys4
+    assert "orders" not in phys4, phys4
+
+
+def test_bag_ops_are_count_rewrites_not_joins(q):
+    """§2.AN an1/an2: Catalyst rewrites exceptAll/intersectAll to a
+    +1/-1 count aggregate + Generate re-replication — the plan must
+    carry NO join of any kind and exactly one aggregate pair."""
+    for key in ("q_bag_except_all", "q_bag_intersect_all"):
+        phys = physical_plan(q(key))
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert "Generate" in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+    # an3 is a pure map-side concat: no exchange at all
+    phys3 = physical_plan(q("q_union_byname_missing"))
+    assert "Exchange" not in phys3, phys3
+
+
+def test_distinct_on_is_partial_min_struct_no_window(q):
+    """§2.AN an4: DISTINCT ON lowers to a commutative min(struct(...))
+    aggregation with a MAP-SIDE partial (partial_min before the
+    exchange) — never a row_number window (a full per-key fact sort);
+    the scan is pruned to the 4 needed columns."""
+    phys = physical_plan(q("q_distinct_on_first_ship"))
+    assert "Window" not in phys, phys
+    assert "partial_min" in phys, phys
+    read_schema = [ln for ln in phys.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_suppkey" not in read_schema[0], phys
+
+
+def test_lexstats_jvm_side_topk_lowered(q):
+    """§2.AO: n-gram/pair generation is JVM-side (Generate, never a
+    Python UDF) and every global top-k lowers to TakeOrderedAndProject
+    before any rank window."""
+    for key in ("q_colloc_bigram_lift", "q_skipgram_cooccur",
+                "q_text_zipf_ranktable"):
+        phys = physical_plan(q(key))
+        assert "BatchEvalPython" not in phys, (key, phys)
+        assert "Generate" in phys, (key, phys)
+        assert "TakeOrderedAndProject" in phys, (key, phys)
+
+
+def test_robust_cdf_windows_after_single_census(q):
+    """§2.AP: every robust statistic runs on the (segment, cents)
+    distinct-value CDF — one partial-aggregated fact shuffle (customer
+    dim broadcast), then ≤2 window nodes over the bounded census and a
+    bounded rollup; no sort-merge join, no row-level rank window over
+    the fact."""
+    for key in ("q_trimmed_mean", "q_tail_dominance", "q_decile_means"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        for bad in ("SortMergeJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 4, (key, phys)  # census + rollup, partial+final each
+        assert phys.count("Window") <= 2, (key, phys)
+
+
+def test_migration_ntile_distributed_not_global_window(q):
+    """§2.AR: the era quintiles come from ranks.global_ntile — the plan
+    must contain NO ntile window function, and the only SinglePartition
+    exchanges are the two bounded per-partition offset tables + totals
+    (≤2 per tiling)."""
+    phys = physical_plan(q("q_tier_migration_matrix"))
+    assert "ntile(" not in phys, phys
+    assert phys.count("SinglePartition") <= 4, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_winsurface_single_window_partitioning(q):
+    """§2.AQ: aq1/aq4/aq5 are one custkey exchange + sort with all frame
+    aggregates sharing it (≤3 Window nodes, no join); aq3's GROUPS
+    emulation joins the bounded (ck, day) census back via an equi-join,
+    never a nested loop."""
+    for key, max_win in (("q_win_nth_values", 3),
+                         ("q_win_exclude_current", 1),
+                         ("q_win_filter_clause", 2)):
+        phys = physical_plan(q(key))
+        assert phys.count("Window") <= max_win, (key, phys)
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    phys3 = physical_plan(q("q_win_groups_frame"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys3, phys3
+    assert any(j in phys3 for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys3
