@@ -171,6 +171,8 @@ _TAIL2 = (
     f"{_PKG}.streaming.stream_outer",
     f"{_PKG}.operators.winsurface",
     f"{_PKG}.operators.migration",
+    f"{_PKG}.operators.contingency",
+    f"{_PKG}.operators.sampling2",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -184,6 +186,8 @@ _R20_LEAD = (
     f"{_PKG}.streaming.stream_outer",
     f"{_PKG}.operators.winsurface",
     f"{_PKG}.operators.migration",
+    f"{_PKG}.operators.contingency",
+    f"{_PKG}.operators.sampling2",
 )
 
 
