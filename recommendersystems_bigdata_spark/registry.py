@@ -173,6 +173,7 @@ _TAIL2 = (
     f"{_PKG}.operators.migration",
     f"{_PKG}.operators.contingency",
     f"{_PKG}.operators.sampling2",
+    f"{_PKG}.operators.apportion",
 )
 
 # Modules that lead the round-20 window (eleventh amendment). Appended
@@ -188,6 +189,7 @@ _R20_LEAD = (
     f"{_PKG}.operators.migration",
     f"{_PKG}.operators.contingency",
     f"{_PKG}.operators.sampling2",
+    f"{_PKG}.operators.apportion",
 )
 
 
