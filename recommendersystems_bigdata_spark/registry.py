@@ -176,9 +176,11 @@ _TAIL2 = (
     f"{_PKG}.operators.apportion",
 )
 
-# Modules that lead the round-20 window (eleventh amendment). Appended
-# to as later round-9 batches land; the r20 presample pair is
-# regenerated whenever this tuple changes.
+# Modules that lead the round-20 window (eleventh amendment): all ten
+# round-9 fourteenth-onward batches (40 keys; the remaining 10 window
+# slots fill from the round-15 order's head, i.e. inventory + spatial,
+# which round 15 already greens). The r20 presample pair is committed
+# at the final HEAD of this tuple.
 _R20_LEAD = (
     f"{_PKG}.operators.forecast",
     f"{_PKG}.operators.bagops",

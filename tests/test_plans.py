@@ -1687,3 +1687,57 @@ def test_winsurface_single_window_partitioning(q):
         assert bad not in phys3, phys3
     assert any(j in phys3 for j in
                ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), phys3
+
+
+def test_contingency_one_fact_join_conditional_census(q):
+    """§2.AS: the outcome flag costs exactly one fact⋈fact equi-join
+    (lineitem⋈orders) with the flag partial-aggregated map-side; the
+    2×2 census is conditional aggregation — no Expand, no window, no
+    second fact pass."""
+    phys = physical_plan(q("q_contingency_2x2"))
+    joins = (phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+             + phys.count("BroadcastHashJoin"))
+    assert joins <= 2, phys  # fact⋈fact + the dim left join
+    for bad in ("Expand", "Window", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in phys, phys
+    assert phys.count("HashAggregate") >= 4, phys  # flag + census, partial+final
+
+
+def test_systematic_sample_rank_is_distributed(q):
+    """§2.AT at1: the systematic rank comes from global_row_number —
+    no ntile/global row_number window over the customer relation; the
+    only SinglePartition is the bounded per-partition offsets table."""
+    phys = physical_plan(q("q_sample_systematic"))
+    assert phys.count("SinglePartition") <= 1, phys
+    assert "BatchEvalPython" not in phys, phys
+
+
+def test_coordinated_sample_filters_dim_mapside(q):
+    """§2.AT at3: the 1/16 hash bucket filters the DIM side before the
+    parent-key equi-join — the fact is never hashed; no nested loop."""
+    phys = physical_plan(q("q_sample_coordinated"))
+    assert "md5" in phys, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_proration_windows_share_orderkey_partitioning(q):
+    """§2.AU au1: weight sum, remainder rank and leftover all ride ONE
+    orderkey partitioning (≤3 Window nodes, no extra exchange between
+    them) and the header joins on the same key — no iteration, no
+    driver loop."""
+    phys = physical_plan(q("q_prorate_largest_remainder"))
+    assert phys.count("Window") <= 3, phys
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys, phys
+
+
+def test_dhondt_explode_bounded_by_seats(q):
+    """§2.AU au3: the divisor fan-out is a Generate over the bounded
+    census (|nations|×100 rows), and the award rank's SinglePartition
+    window runs over that bounded relation only."""
+    phys = physical_plan(q("q_apportion_dhondt"))
+    assert "Generate" in phys, phys
+    assert phys.count("SinglePartition") <= 1, phys
+    assert "BatchEvalPython" not in phys, phys
