@@ -1405,3 +1405,144 @@ def test_md5_composed_key_matches_python(spark, pairs):
     finally:
         con.close()
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration fuzz (§2.AU au1, round 9). The penny-exact
+# allocation kernel — floor shares + leftover units to the largest
+# remainders — must conserve the total EXACTLY and match a direct Python
+# implementation on adversarial weight sets: equal weights (every
+# remainder ties, the tiebreak path), single-line groups, totals smaller
+# than the line count (floor shares all 0), and weights spanning 6 orders
+# of magnitude. The spelling mirrors operators/apportion.py's windows.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.integers(0, 10**7),  # group total (can be < n_lines)
+            st.lists(
+                st.one_of(
+                    st.integers(1, 10**6),
+                    st.just(5),  # equal-weight tie cluster
+                ),
+                min_size=1, max_size=8,
+            ),
+        ),
+        min_size=1, max_size=6,
+    ),
+)
+def test_largest_remainder_fuzz_conserves_and_matches(spark, groups):
+    from pyspark.sql import Window
+
+    rows = []
+    expect = {}
+    for g, (total, weights) in enumerate(groups):
+        W = sum(weights)
+        floors = [(total * w) // W for w in weights]
+        rems = [(total * w) % W for w in weights]
+        leftover = total - sum(floors)
+        order = sorted(range(len(weights)),
+                       key=lambda i: (-rems[i], i, weights[i]))
+        out = list(floors)
+        for i in order[:leftover]:
+            out[i] += 1
+        for i, (w, a) in enumerate(zip(weights, out)):
+            rows.append((g, i, w, total))
+            expect[(g, i)] = a
+    sdf = spark.createDataFrame(
+        rows, "g INT, ln INT, w BIGINT, total BIGINT"
+    )
+    w_g = Window.partitionBy("g")
+    based = (
+        sdf.withColumn("big_w", F.sum("w").over(w_g).cast("long"))
+        .withColumn("floor_a", F.expr("(total * w) div big_w"))
+        .withColumn("remainder", F.expr("(total * w) % big_w"))
+    )
+    ranked = based.withColumn(
+        "rem_rank",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.desc("remainder"), "ln", "w")
+        ),
+    ).withColumn(
+        "leftover",
+        (F.col("total") - F.sum("floor_a").over(w_g)).cast("long"),
+    )
+    got = {
+        (r["g"], r["ln"]): r["alloc"]
+        for r in ranked.select(
+            "g",
+            "ln",
+            (
+                F.col("floor_a")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        ).collect()
+    }
+    assert got == expect
+    # exact conservation per group, regardless of ties
+    per_group = {}
+    for (g, _i), a in got.items():
+        per_group[g] = per_group.get(g, 0) + a
+    assert per_group == {g: t for g, (t, _w) in enumerate(groups)}
+
+
+# ---------------------------------------------------------------------------
+# Distinct-value-CDF rank-interval fuzz (§2.AP, round 9). The robust suite
+# computes order statistics from the (value, count) CDF with the overlap
+# formula greatest(0, least(hi, R_hi) - greatest(lo, R_lo) + 1); the
+# dangerous case is a duplicate value whose multiplicity STRADDLES a trim
+# cutoff. Fuzz with heavy-duplicate multisets and assert the CDF trimmed
+# mean equals the sorted-slice definition exactly.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(0, 12),  # tiny domain -> guaranteed straddles
+        min_size=1, max_size=120,
+    ),
+)
+def test_cdf_trim_overlap_fuzz_matches_sorted_slice(spark, vals):
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    n = len(vals)
+    k = n // 10
+    s = sorted(vals)
+    mid = s[k : n - k]
+    expect_sum = sum(mid)
+    expect_cnt = n - 2 * k
+    hist = [(v, c) for v, c in sorted(Counter(vals).items())]
+    sdf = spark.createDataFrame(hist, "v BIGINT, cnt BIGINT")
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = (
+        sdf.withColumn("hi", F.sum("cnt").over(w_cum).cast("long"))
+        .withColumn("lo", F.col("hi") - F.col("cnt") + 1)
+        .withColumn("n", F.sum("cnt").over(w_all).cast("long"))
+    )
+    incl = F.expr(
+        "greatest(0, least(hi, n - n div 10)"
+        " - greatest(lo, n div 10 + 1) + 1)"
+    )
+    row = cdf.agg(
+        F.sum(F.col("v") * incl).cast("long").alias("mid_sum"),
+        F.sum(incl).cast("long").alias("mid_cnt"),
+    ).collect()[0]
+    assert row["mid_sum"] == expect_sum
+    assert row["mid_cnt"] == expect_cnt
