@@ -498,6 +498,18 @@ _BNLJ_ALLOWED = {
     # tier census — O(3·1)
     "q_single_source_exposure",
     "q_acctbal_risk_tiers",
+    # §2.AO ao1: 1-row corpus token-count broadcast vs the support-
+    # filtered bigram head
+    "q_colloc_bigram_lift",
+    # §2.AR: ranks.global_ntile's 1-row total + bounded offset-table
+    # broadcasts (two tilings), against the |customers|-bounded percust
+    # relation — never against a fact
+    "q_tier_migration_matrix",
+    "q_tier_stickiness",
+    "q_value_migration",
+    "q_tier_bounds",
+    # §2.AU au2: 1-row census-total broadcast vs the 25-nation census
+    "q_apportion_hamilton",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
