@@ -174,6 +174,16 @@ _TAIL2 = (
     f"{_PKG}.operators.contingency",
     f"{_PKG}.operators.sampling2",
     f"{_PKG}.operators.apportion",
+    # Round-9 fifteenth batch: revenue bridge (§2.AV), backlog/queueing
+    # (§2.AW), inequality/concentration (§2.AX). Bridge + backlog join
+    # the round-16 lead and inequality the round-17 lead (twelfth
+    # amendment, see below); the r16/r17 presample pairs are
+    # regenerated alongside. All other committed windows (r9–r15 and
+    # r18–r20) are unaffected: the modules sit past every other
+    # first-50 cut.
+    f"{_PKG}.operators.bridge",
+    f"{_PKG}.operators.backlog",
+    f"{_PKG}.operators.inequality",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -328,8 +338,13 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # Seventh amendment: the tenth round-9 batch (calendar +
         # sketchops, 8 keys) leads the SECOND pass through this slot
         # (round 16); round 11 keeps its committed tsdiag-led window.
+        # Twelfth amendment: the fifteenth batch's bridge + backlog
+        # modules (8 keys) prepend to that lead — the displaced window
+        # tail keeps its round-6/11 evidence; r16 pair regenerated.
         if rnd >= 16:
             lead = (
+                f"{_PKG}.operators.bridge",
+                f"{_PKG}.operators.backlog",
                 f"{_PKG}.operators.calendar",
                 f"{_PKG}.operators.sketchops",
             )
@@ -341,8 +356,12 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # Eighth amendment: the eleventh round-9 batch (pricing +
         # fulfillment, 10 keys) leads the SECOND pass through this slot
         # (round 17); round 12 keeps its committed lifecycle window.
+        # Twelfth amendment: the fifteenth batch's inequality module
+        # (4 keys) prepends to that lead — the displaced window tail
+        # keeps its round-7/12 evidence; r17 pair regenerated.
         if rnd >= 17:
             lead = (
+                f"{_PKG}.operators.inequality",
                 f"{_PKG}.operators.pricing",
                 f"{_PKG}.operators.fulfillment",
             )

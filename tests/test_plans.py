@@ -510,6 +510,15 @@ _BNLJ_ALLOWED = {
     "q_tier_bounds",
     # §2.AU au2: 1-row census-total broadcast vs the 25-nation census
     "q_apportion_hamilton",
+    # §2.AV: 1-row year-total broadcast vs the 25-brand census (av4);
+    # av3's two legs are 1-row aggregate × 1-row aggregate combines
+    "q_bridge_mix_shift",
+    "q_bridge_waterfall",
+    # §2.AX: 1-row (n, T) totals broadcast vs the per-customer spend
+    # relation (ax2) / the bounded 10- and 100-row percentile censuses
+    "q_lorenz_deciles",
+    "q_hoover_index",
+    "q_concentration_curve",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1753,3 +1762,67 @@ def test_dhondt_explode_bounded_by_seats(q):
     assert "Generate" in phys, phys
     assert phys.count("SinglePartition") <= 1, phys
     assert "BatchEvalPython" not in phys, phys
+
+
+def test_bridge_census_pinned_single_fact_pass(q):
+    """§2.AV: the (part, year) census is localCheckpoint-pinned, so the
+    matched y0/y1 branches never re-scan lineitem (av1/av2 plans carry
+    ZERO parquet fact scans); av4 reads the fact exactly once with the
+    ship-date range pushed. The only nested loops anywhere are the
+    adjudicated 1-row broadcast totals."""
+    for key in ("q_bridge_pvm_brand", "q_bridge_new_lost"):
+        phys = physical_plan(q(key))
+        assert "lineitem" not in phys, (key, phys)
+        assert "Scan ExistingRDD" in phys, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    plan4 = full_explain(q("q_bridge_mix_shift"))
+    pushed = [ln for ln in plan4.splitlines() if "PushedFilters" in ln
+              and "l_shipdate" in ln]
+    assert pushed, plan4
+    phys4 = physical_plan(q("q_bridge_mix_shift"))
+    assert phys4.count("BroadcastNestedLoopJoin") <= 1, phys4  # 1-row totals
+    assert "CartesianProduct" not in phys4, phys4
+
+
+def test_backlog_pipe_pinned_and_bounded_windows(q):
+    """§2.AW: aw1's per-order pipe is checkpoint-pinned (no fact scan in
+    the final plan) and its only window/SinglePartition runs over the
+    bounded month census; aw2/aw3 are one orders⋈lineitem-agg join and
+    a census — no window over the fact; aw4's month fan-out is a
+    JVM-side Generate, never a range join or nested loop."""
+    phys1 = physical_plan(q("q_backlog_monthly"))
+    assert "lineitem" not in phys1 and "orders" not in phys1, phys1
+    assert phys1.count("Window") <= 1, phys1
+    assert phys1.count("SinglePartition") <= 1, phys1
+    for key in ("q_wip_aging_snapshot", "q_littles_law_check",
+                "q_backlog_oldest_open"):
+        phys = physical_plan(q(key))
+        joins = (phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+                 + phys.count("BroadcastHashJoin"))
+        assert joins == 1, (key, phys)  # orders ⋈ per-order last-ship only
+        assert "Window" not in phys, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    assert "Generate" in physical_plan(q("q_backlog_oldest_open"))
+
+
+def test_inequality_distributed_ntile_bounded_scaling(q):
+    """§2.AX: percentile tiles come from ranks.global_ntile — NO ntile
+    window function in any plan; the per-customer relation and the
+    bounded censuses are checkpoint-pinned, so SinglePartition appears
+    at most twice (per-partition offsets + the bounded census window)
+    and the only nested loop is the adjudicated 1-row totals join; the
+    128-bit share scaling runs after the census (no decimal math on the
+    fact side of ax1/ax3)."""
+    for key in ("q_lorenz_deciles", "q_concentration_curve"):
+        phys = physical_plan(q(key))
+        assert "ntile(" not in phys, (key, phys)
+        assert phys.count("SinglePartition") <= 2, (key, phys)
+        assert phys.count("Window") <= 1, (key, phys)
+        assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+    phys2 = physical_plan(q("q_hoover_index"))
+    assert "Window" not in phys2, phys2
+    assert "orders" not in phys2, phys2  # spend relation is pinned
+    assert phys2.count("BroadcastNestedLoopJoin") <= 1, phys2

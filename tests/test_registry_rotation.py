@@ -95,11 +95,16 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.inventory",
         f"{registry._PKG}.operators.spatial",
     )
+    # twelfth amendment: the fifteenth batch prepends bridge + backlog
+    # to the round-16 lead and inequality to the round-17 lead
     tenth_lead = (
+        f"{registry._PKG}.operators.bridge",
+        f"{registry._PKG}.operators.backlog",
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
     )
     eleventh_lead = (
+        f"{registry._PKG}.operators.inequality",
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
     )
@@ -213,7 +218,10 @@ def test_post_presample_tail_outside_pinned_windows():
     # round 18 (the ninth), and the thirteenth (procurement,
     # #152..#156) leads round 19 (the tenth)
     # ... and the fourteenth-onward batches (forecast §2.AM and later
-    # same-session suites) lead round 20 (the eleventh amendment)
+    # same-session suites) lead round 20 (the eleventh amendment),
+    # while the fifteenth batch joins the round-16 lead (bridge +
+    # backlog) and the round-17 lead (inequality) — the twelfth
+    # amendment
     assert tail2_keys <= (
         set(_first50(9)) | set(_first50(10)) | set(_first50(11))
         | set(_first50(12)) | set(_first50(13)) | set(_first50(14))
@@ -278,6 +286,14 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(15)), k
     for k in (
+        "q_bridge_pvm_brand",
+        "q_bridge_new_lost",
+        "q_bridge_waterfall",
+        "q_bridge_mix_shift",
+        "q_backlog_monthly",
+        "q_wip_aging_snapshot",
+        "q_littles_law_check",
+        "q_backlog_oldest_open",
         "q_cal_business_latency",
         "q_cal_weekday_profile",
         "q_cal_eom_effect",
@@ -289,6 +305,10 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(16)), k
     for k in (
+        "q_lorenz_deciles",
+        "q_hoover_index",
+        "q_concentration_curve",
+        "q_palma_ratios",
         "q_price_spread_audit",
         "q_discount_band_impact",
         "q_margin_by_brand",
