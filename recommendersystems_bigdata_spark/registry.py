@@ -184,6 +184,13 @@ _TAIL2 = (
     f"{_PKG}.operators.bridge",
     f"{_PKG}.operators.backlog",
     f"{_PKG}.operators.inequality",
+    # Round-9 sixteenth batch: trade-flow matrix (§2.AY) and purchase
+    # cadence (§2.AZ). Tradeflow joins the round-18 lead and cadence
+    # the round-19 lead (thirteenth amendment, see below); the r18/r19
+    # presample pairs are regenerated alongside. All other committed
+    # windows are unaffected.
+    f"{_PKG}.operators.tradeflow",
+    f"{_PKG}.operators.cadence",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -372,9 +379,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     if (rnd - 10) % 5 == 3:
         # Ninth amendment: the twelfth round-9 batch (sqlsurface, 6
         # keys) leads the SECOND pass through this slot (round 18);
-        # round 13 keeps its committed receval window.
+        # round 13 keeps its committed receval window. Thirteenth
+        # amendment: the sixteenth batch's tradeflow module (4 keys)
+        # prepends to that lead; r18 pair regenerated.
         if rnd >= 18:
-            lead = (f"{_PKG}.operators.sqlsurface",)
+            lead = (
+                f"{_PKG}.operators.tradeflow",
+                f"{_PKG}.operators.sqlsurface",
+            )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.ml.receval",)
@@ -382,9 +394,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
     if (rnd - 10) % 5 == 4:
         # Tenth amendment: the thirteenth round-9 batch (procurement,
         # 5 keys) leads the SECOND pass through this slot (round 19);
-        # round 14 keeps its committed integrity window.
+        # round 14 keeps its committed integrity window. Thirteenth
+        # amendment: the sixteenth batch's cadence module (4 keys)
+        # prepends to that lead; r19 pair regenerated.
         if rnd >= 19:
-            lead = (f"{_PKG}.operators.procurement",)
+            lead = (
+                f"{_PKG}.operators.cadence",
+                f"{_PKG}.operators.procurement",
+            )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)
         lead = (f"{_PKG}.operators.integrity",)

@@ -519,6 +519,14 @@ _BNLJ_ALLOWED = {
     "q_lorenz_deciles",
     "q_hoover_index",
     "q_concentration_curve",
+    # §2.AY: 1-row world-trade total broadcast vs the ≤625-row matrix /
+    # ≤25-row region-block census
+    "q_trade_matrix",
+    "q_trade_region_blocks",
+    # §2.AZ: 1-row gap/customer totals broadcast vs the 6-row bucket /
+    # 4-row regularity census
+    "q_interpurchase_gaps",
+    "q_cadence_regularity",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1826,3 +1834,37 @@ def test_inequality_distributed_ntile_bounded_scaling(q):
     assert "Window" not in phys2, phys2
     assert "orders" not in phys2, phys2  # spend relation is pinned
     assert phys2.count("BroadcastNestedLoopJoin") <= 1, phys2
+
+
+def test_tradeflow_census_pinned_and_topk_lowered(q):
+    """§2.AY: ay1/ay2 run on the localCheckpoint-pinned flow census —
+    no parquet fact scan in their final plans; ay4's top-10 lowers to
+    TakeOrderedAndProject straight off the census build (no global
+    sort, no rank window)."""
+    for key in ("q_trade_matrix", "q_trade_balance"):
+        phys = physical_plan(q(key))
+        assert "lineitem" not in phys and "orders" not in phys, (key, phys)
+        assert "Scan ExistingRDD" in phys, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+    phys4 = physical_plan(q("q_trade_top_corridors"))
+    assert "TakeOrderedAndProject" in phys4, phys4
+    assert "Window" not in phys4, phys4
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys4, phys4
+
+
+def test_cadence_single_keyed_window_and_censuses(q):
+    """§2.AZ: the gap relation costs ONE per-custkey exchange (the lag
+    and index windows share the (ck; od, ok) partitioning — ≤2 Window
+    nodes, no join before the censuses); az2 adds only the bounded
+    (segment, gap) CDF windows; the only nested loops are the 1-row
+    broadcast totals."""
+    for key, max_win in (("q_interpurchase_gaps", 2),
+                         ("q_cadence_regularity", 2),
+                         ("q_cadence_trend", 2),
+                         ("q_cadence_quartiles_by_segment", 3)):
+        phys = physical_plan(q(key))
+        assert phys.count("Window") <= max_win, (key, phys)
+        assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert "BatchEvalPython" not in phys, (key, phys)

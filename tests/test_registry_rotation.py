@@ -108,8 +108,16 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
     )
-    twelfth_lead = (f"{registry._PKG}.operators.sqlsurface",)
-    thirteenth_lead = (f"{registry._PKG}.operators.procurement",)
+    # thirteenth amendment: the sixteenth batch prepends tradeflow to
+    # the round-18 lead and cadence to the round-19 lead
+    twelfth_lead = (
+        f"{registry._PKG}.operators.tradeflow",
+        f"{registry._PKG}.operators.sqlsurface",
+    )
+    thirteenth_lead = (
+        f"{registry._PKG}.operators.cadence",
+        f"{registry._PKG}.operators.procurement",
+    )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
         if (rnd - 10) % 5 == 0 and rnd >= 20:
@@ -322,6 +330,10 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(17)), k
     for k in (
+        "q_trade_matrix",
+        "q_trade_balance",
+        "q_trade_region_blocks",
+        "q_trade_top_corridors",
         "q_nullsafe_dim_match",
         "q_lateral_token_positions",
         "q_values_sla_breach",
@@ -331,6 +343,10 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(18)), k
     for k in (
+        "q_interpurchase_gaps",
+        "q_cadence_quartiles_by_segment",
+        "q_cadence_regularity",
+        "q_cadence_trend",
         "q_supply_hhi_by_nation",
         "q_single_source_exposure",
         "q_supplier_pareto_depth",
