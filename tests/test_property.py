@@ -1546,3 +1546,229 @@ def test_cdf_trim_overlap_fuzz_matches_sorted_slice(spark, vals):
     ).collect()[0]
     assert row["mid_sum"] == expect_sum
     assert row["mid_cnt"] == expect_cnt
+
+
+# ---------------------------------------------------------------------------
+# PVM split fuzz (§2.AV, round 9). The bridge's three-way split must close
+# to rev1 - rev0 EXACTLY for any positive (rev, qty) pairs — the residual
+# absorbs the micro-cent truncation by construction. Fuzz the exact Spark
+# spelling against a big-int Python reference, including qty0=1 (maximal
+# p0_micro) and rev0=0 (zero base price) edges.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(0, 10**9),  # rev0 cents
+            st.integers(1, 10**6),  # qty0
+            st.integers(0, 10**9),  # rev1 cents
+            st.integers(1, 10**6),  # qty1
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_pvm_split_fuzz_closes_and_matches(spark, parts):
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    expect = {}
+    for i, (rev0, qty0, rev1, qty1) in enumerate(parts):
+        p0 = (rev0 * 10000) // qty0
+        price = rev1 - tdiv(qty1 * p0, 10000)
+        vol = tdiv((qty1 - qty0) * p0, 10000)
+        resid = (rev1 - rev0) - price - vol
+        expect[i] = (price, vol, resid)
+    sdf = spark.createDataFrame(
+        [(i, *p) for i, p in enumerate(parts)],
+        "p INT, rev0 BIGINT, qty0 BIGINT, rev1 BIGINT, qty1 BIGINT",
+    )
+    got = {}
+    for r in (
+        sdf.withColumn("p0_micro", F.expr("(rev0 * 10000) div qty0"))
+        .select(
+            "p",
+            "rev0",
+            "rev1",
+            F.expr("rev1 - (qty1 * p0_micro) div 10000").alias("price_eff"),
+            F.expr("((qty1 - qty0) * p0_micro) div 10000").alias("vol_eff"),
+            F.expr(
+                "(rev1 - rev0)"
+                " - (rev1 - (qty1 * p0_micro) div 10000)"
+                " - (((qty1 - qty0) * p0_micro) div 10000)"
+            ).alias("resid_eff"),
+        )
+        .collect()
+    ):
+        got[r["p"]] = (r["price_eff"], r["vol_eff"], r["resid_eff"])
+        # closure is an identity, not an approximation
+        assert (
+            r["price_eff"] + r["vol_eff"] + r["resid_eff"]
+            == r["rev1"] - r["rev0"]
+        )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Backlog clamp fuzz (§2.AW, round 9). With completion clamped to
+# greatest(last_ship, orderdate) the monthly ledger's running backlog can
+# never go negative and its terminal value equals the never-completed
+# count — for ANY ship offsets, including deeply negative ones and NULLs.
+# Fuzz the ledger algebra against a Python month census.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders_spec=st.lists(
+        st.tuples(
+            st.integers(0, 900),  # orderdate offset days
+            st.one_of(st.none(), st.integers(-800, 800)),  # ship delta
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_backlog_clamp_fuzz_ledger_conserves(spark, orders_spec):
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1)
+    rows, arr, done = [], {}, {}
+    never = 0
+    for od_off, delta in orders_spec:
+        od = base + dt.timedelta(days=od_off)
+        ls = None if delta is None else base + dt.timedelta(days=od_off + delta)
+        comp = None if ls is None else max(ls, od)
+        rows.append((od, ls))
+        ym = od.year * 100 + od.month
+        arr[ym] = arr.get(ym, 0) + 1
+        if comp is None:
+            never += 1
+        else:
+            cym = comp.year * 100 + comp.month
+            done[cym] = done.get(cym, 0) + 1
+    sdf = spark.createDataFrame(rows, "od TIMESTAMP, ls TIMESTAMP")
+    pipe = sdf.select(
+        "od",
+        F.when(F.col("ls").isNull(), F.lit(None).cast("timestamp"))
+        .otherwise(F.greatest("ls", "od"))
+        .alias("comp"),
+    )
+    a = pipe.groupBy(
+        (F.year("od") * 100 + F.month("od")).cast("long").alias("ym")
+    ).agg(F.count(F.lit(1)).cast("long").alias("arrivals"))
+    d = (
+        pipe.where(F.col("comp").isNotNull())
+        .groupBy(
+            (F.year("comp") * 100 + F.month("comp")).cast("long").alias("ym")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("completions"))
+    )
+    merged = sorted(
+        (
+            (r["ym"], r["arrivals"] or 0, r["completions"] or 0)
+            for r in a.join(d, "ym", "full_outer")
+            .select(
+                "ym",
+                F.coalesce("arrivals", F.lit(0)).alias("arrivals"),
+                F.coalesce("completions", F.lit(0)).alias("completions"),
+            )
+            .collect()
+        )
+    )
+    cum = 0
+    for ym, got_a, got_d in merged:
+        assert got_a == arr.get(ym, 0)
+        assert got_d == done.get(ym, 0)
+        cum += got_a - got_d
+        assert cum >= 0  # the clamp's guarantee
+    assert cum == never
+
+
+# ---------------------------------------------------------------------------
+# Distributed ntile fuzz (§2.AX foundation, round 9). ranks.global_ntile
+# must equal ANSI ntile for any n and k — including n < k (every bucket
+# size 0/1), heavy value ties (broken by the unique key), and k = 100 on
+# tiny inputs. Fuzz against the Python ANSI tiling.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(10), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=120),
+    k=st.sampled_from([3, 7, 10, 100]),
+)
+def test_global_ntile_fuzz_matches_ansi(spark, vals, k):
+    from recommendersystems_bigdata_spark.functions.ranks import global_ntile
+
+    rows = sorted(enumerate(vals), key=lambda t: (t[1], t[0]))
+    n = len(rows)
+    q, r = divmod(n, k)
+    expect, i = {}, 0
+    for b in range(1, k + 1):
+        size = q + (1 if b <= r else 0)
+        for idx, _v in rows[i : i + size]:
+            expect[idx] = b
+        i += size
+    sdf = spark.createDataFrame(
+        list(enumerate(vals)), "idx BIGINT, v BIGINT"
+    )
+    tiled = global_ntile(sdf, [F.col("v"), F.col("idx")], k, name="b")
+    got = {r["idx"]: r["b"] for r in tiled.collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Hoover-index fuzz (§2.AX, round 9). The 128-bit spelling must match the
+# big-int Python definition and stay inside [0, 10000] for any spend
+# multiset — all-equal (0 bp), a single whale among zeros (near-max), and
+# random mixes.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(12), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    spends=st.one_of(
+        st.lists(st.integers(0, 10**12), min_size=1, max_size=40),
+        st.integers(1, 20).map(lambda n: [7] * n),          # all equal
+        st.integers(2, 20).map(lambda n: [10**12] + [0] * n),  # one whale
+    ).filter(lambda xs: sum(xs) > 0),
+)
+def test_hoover_fuzz_matches_python_and_bounded(spark, spends):
+    n = len(spends)
+    t = sum(spends)
+    sum_abs = sum(abs(n * x - t) for x in spends)
+    want = (10000 * sum_abs) // (2 * n * t)
+    sdf = spark.createDataFrame([(x,) for x in spends], "spend_cents BIGINT")
+    tot = sdf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend_cents").cast("long").alias("t"),
+    )
+    [row] = (
+        sdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr("abs(CAST(n AS DECIMAL(38,0)) * spend_cents - t)")
+            ).alias("sum_abs"),
+            F.max("n").alias("n"),
+            F.max("t").alias("t"),
+        )
+        .select(
+            F.expr(
+                "CAST((CAST(10000 AS DECIMAL(38,0)) * sum_abs)"
+                " div (CAST(2 AS DECIMAL(38,0)) * n * t) AS BIGINT)"
+            ).alias("hoover_bp")
+        )
+        .collect()
+    )
+    assert row["hoover_bp"] == want
+    assert 0 <= row["hoover_bp"] <= 10000
