@@ -191,6 +191,11 @@ _TAIL2 = (
     # windows are unaffected.
     f"{_PKG}.operators.tradeflow",
     f"{_PKG}.operators.cadence",
+    # Round-9 seventeenth batch: mix standardization (§2.BA). Joins the
+    # round-15 lead (fourteenth amendment, see below); the r15
+    # presample pair is regenerated alongside. All other committed
+    # windows are unaffected.
+    f"{_PKG}.operators.standardize",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -316,8 +321,12 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # 10 keys) landed after every first-cycle lead slot was assigned,
         # so the SECOND pass through this slot (rounds 15/20) leads with
         # it; round 10 keeps its committed overflow-led window verbatim.
+        # Fourteenth amendment: the seventeenth batch's standardize
+        # module (4 keys) prepends to that lead; r15 pair regenerated.
+        # (Round 20 is handled above and keeps its committed window.)
         if rnd >= 15:
             lead = (
+                f"{_PKG}.operators.standardize",
                 f"{_PKG}.operators.inventory",
                 f"{_PKG}.operators.spatial",
             )

@@ -527,6 +527,9 @@ _BNLJ_ALLOWED = {
     # 4-row regularity census
     "q_interpurchase_gaps",
     "q_cadence_regularity",
+    # §2.BA: 1-row order-total broadcast vs the 5-row segment census
+    "q_segment_mix_weights",
+    "q_aov_mix_decomposition",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1868,3 +1871,21 @@ def test_cadence_single_keyed_window_and_censuses(q):
         assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
         assert "CartesianProduct" not in phys, (key, phys)
         assert "BatchEvalPython" not in phys, (key, phys)
+
+
+def test_standardize_bounded_censuses(q):
+    """§2.BA: ba3's nation×segment census is checkpoint-pinned — the
+    segment standard derives from it with no second fact scan; ba1/ba2/
+    ba4 are one shuffle join to a 5-row census with the only nested
+    loop the adjudicated 1-row totals."""
+    phys3 = physical_plan(q("q_standardized_return_rate"))
+    assert "lineitem" not in phys3 and "orders" not in phys3, phys3
+    assert "Scan ExistingRDD" in phys3, phys3
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys3, phys3
+    for key in ("q_segment_mix_weights", "q_mix_adjusted_aov",
+                "q_aov_mix_decomposition"):
+        phys = physical_plan(q(key))
+        assert "Window" not in phys, (key, phys)
+        assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)

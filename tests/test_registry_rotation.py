@@ -91,7 +91,11 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     lc_lead = (f"{registry._PKG}.operators.lifecycle",)
     re_lead = (f"{registry._PKG}.ml.receval",)
     in_lead = (f"{registry._PKG}.operators.integrity",)
+    # fourteenth amendment: the seventeenth batch prepends standardize
+    # to the round-15 lead (round 20's fill shifts with it — its pair
+    # is regenerated alongside)
     ninth_lead = (
+        f"{registry._PKG}.operators.standardize",
         f"{registry._PKG}.operators.inventory",
         f"{registry._PKG}.operators.spatial",
     )
@@ -281,6 +285,10 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(14)), k
     for k in (
+        "q_segment_mix_weights",
+        "q_mix_adjusted_aov",
+        "q_standardized_return_rate",
+        "q_aov_mix_decomposition",
         "q_inv_running_balance",
         "q_inv_fifo_allocation",
         "q_inv_cover_buckets",
