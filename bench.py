@@ -47,7 +47,12 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 # q_inv_fifo_allocation: the cumulative-interval self-join (one window
 # lineage consumed by three plan branches under ReusedExchange), the
 # shape whose checkpoint-placement regression the 10× probe caught —
-# kept perf-visible so it can't silently return.
+# kept perf-visible so it can't silently return. The last round-9
+# addition is q_concentration_curve: the two-pass distributed global
+# rank (range shuffle + Arrow mapInPandas local index + broadcast
+# offsets, ranks.global_ntile) — the SinglePartition-eliminating path
+# under §2.AR/§2.AX whose Python-boundary cost no JVM-only headline
+# query exercises.
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -62,6 +67,7 @@ HEADLINE = (
     "q_dedup_clusters",
     "q_seq_user_signature",
     "q_inv_fifo_allocation",
+    "q_concentration_curve",
 )
 
 N_SERIES = 3
@@ -107,17 +113,19 @@ def main() -> None:
 
     # r1-r3 benched only the first 7 queries; the LLM-surface ops were added
     # in round 4, the iterative q_dedup_clusters in round 7, the sequence
-    # signature early in round 9 and the FIFO interval join late in round 9.
-    # The subtotals keep round-over-round comparisons honest without
+    # signature early in round 9, the FIFO interval join late in round 9
+    # and the distributed-rank concentration curve at round-9 end. The
+    # subtotals keep round-over-round comparisons honest without
     # changing the contracted top-level fields: compare r3_comparable_7q_sec
     # across all rounds, r6_comparable_10q_sec against BENCH_r0{5,6}.json's
     # "value", r8_comparable_11q_sec against BENCH_r0{7,8}.json's "value",
-    # r9_comparable_12q_sec against BENCH_r09.json's "value", and "value"
-    # itself only from round 10 on.
+    # r9_comparable_13q_sec against BENCH_LOCAL_r09.json's earlier "value",
+    # and "value" itself only from round 10 on.
     legacy_7q = round(sum(medians[n] for n in HEADLINE[:7]), 3)
     legacy_10q = round(sum(medians[n] for n in HEADLINE[:10]), 3)
     legacy_11q = round(sum(medians[n] for n in HEADLINE[:11]), 3)
     legacy_12q = round(sum(medians[n] for n in HEADLINE[:12]), 3)
+    legacy_13q = round(sum(medians[n] for n in HEADLINE[:13]), 3)
     print(
         json.dumps(
             {
@@ -131,6 +139,7 @@ def main() -> None:
                 "r6_comparable_10q_sec": legacy_10q,
                 "r8_comparable_11q_sec": legacy_11q,
                 "r9_comparable_12q_sec": legacy_12q,
+                "r9_comparable_13q_sec": legacy_13q,
             }
         )
     )

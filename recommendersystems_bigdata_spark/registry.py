@@ -196,6 +196,11 @@ _TAIL2 = (
     # presample pair is regenerated alongside. All other committed
     # windows are unaffected.
     f"{_PKG}.operators.standardize",
+    # Round-9 eighteenth batch: priority-SLA fairness (§2.BB). Joins
+    # the round-17 lead after inequality (fifteenth amendment, see
+    # below); the r17 presample pair is regenerated once more. All
+    # other committed windows are unaffected.
+    f"{_PKG}.operators.priority_sla",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -375,9 +380,12 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # Twelfth amendment: the fifteenth batch's inequality module
         # (4 keys) prepends to that lead — the displaced window tail
         # keeps its round-7/12 evidence; r17 pair regenerated.
+        # Fifteenth amendment: the eighteenth batch's priority_sla
+        # module (4 keys) joins it; r17 pair regenerated again.
         if rnd >= 17:
             lead = (
                 f"{_PKG}.operators.inequality",
+                f"{_PKG}.operators.priority_sla",
                 f"{_PKG}.operators.pricing",
                 f"{_PKG}.operators.fulfillment",
             )

@@ -530,6 +530,8 @@ _BNLJ_ALLOWED = {
     # §2.BA: 1-row order-total broadcast vs the 5-row segment census
     "q_segment_mix_weights",
     "q_aov_mix_decomposition",
+    # §2.BB: 1-row order/value totals broadcast vs the 5-priority census
+    "q_priority_value_premium",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1886,6 +1888,28 @@ def test_standardize_bounded_censuses(q):
     for key in ("q_segment_mix_weights", "q_mix_adjusted_aov",
                 "q_aov_mix_decomposition"):
         phys = physical_plan(q(key))
+        assert "Window" not in phys, (key, phys)
+        assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+
+
+def test_priority_sla_single_fact_pass(q):
+    """§2.BB: bb1/bb2 cost ONE orders⋈first-ship join; bb1's CDF rank
+    windows run over the bounded (priority, day) census (≤2 Window
+    nodes); bb3/bb4 never read lineitem — one orders census each, the
+    only nested loop the 1-row totals."""
+    for key, max_win in (("q_priority_latency_quartiles", 2),
+                         ("q_priority_sla_attainment", 0)):
+        phys = physical_plan(q(key))
+        joins = (phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+                 + phys.count("BroadcastHashJoin"))
+        assert joins == 1, (key, phys)
+        assert phys.count("Window") <= max_win, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    for key in ("q_priority_mix_monthly", "q_priority_value_premium"):
+        phys = physical_plan(q(key))
+        assert "lineitem" not in phys, (key, phys)
         assert "Window" not in phys, (key, phys)
         assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
         assert "CartesianProduct" not in phys, (key, phys)

@@ -107,8 +107,11 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
     )
+    # fifteenth amendment: the eighteenth batch's priority_sla module
+    # joins the round-17 lead after inequality
     eleventh_lead = (
         f"{registry._PKG}.operators.inequality",
+        f"{registry._PKG}.operators.priority_sla",
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
     )
@@ -325,6 +328,10 @@ def test_post_presample_tail_outside_pinned_windows():
         "q_hoover_index",
         "q_concentration_curve",
         "q_palma_ratios",
+        "q_priority_latency_quartiles",
+        "q_priority_sla_attainment",
+        "q_priority_mix_monthly",
+        "q_priority_value_premium",
         "q_price_spread_audit",
         "q_discount_band_impact",
         "q_margin_by_brand",
