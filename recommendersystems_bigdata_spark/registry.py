@@ -201,6 +201,11 @@ _TAIL2 = (
     # below); the r17 presample pair is regenerated once more. All
     # other committed windows are unaffected.
     f"{_PKG}.operators.priority_sla",
+    # Round-9 nineteenth batch: ranked report shapes (§2.BC). Joins
+    # the round-16 lead after backlog (sixteenth amendment, see
+    # below); the r16 presample pair is regenerated once more. All
+    # other committed windows are unaffected.
+    f"{_PKG}.operators.rankedreports",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -362,10 +367,13 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # Twelfth amendment: the fifteenth batch's bridge + backlog
         # modules (8 keys) prepend to that lead — the displaced window
         # tail keeps its round-6/11 evidence; r16 pair regenerated.
+        # Sixteenth amendment: the nineteenth batch's rankedreports
+        # module (4 keys) joins it; r16 pair regenerated again.
         if rnd >= 16:
             lead = (
                 f"{_PKG}.operators.bridge",
                 f"{_PKG}.operators.backlog",
+                f"{_PKG}.operators.rankedreports",
                 f"{_PKG}.operators.calendar",
                 f"{_PKG}.operators.sketchops",
             )

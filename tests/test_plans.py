@@ -532,6 +532,12 @@ _BNLJ_ALLOWED = {
     "q_aov_mix_decomposition",
     # §2.BB: 1-row order/value totals broadcast vs the 5-priority census
     "q_priority_value_premium",
+    # §2.BC: 1-row threshold/total broadcasts vs the pinned censuses
+    # (bc1: 10th-value threshold; bc2: census total + head sum; bc3:
+    # rank + dense thresholds + row count)
+    "q_top_parts_with_ties",
+    "q_top_brands_plus_other",
+    "q_rank_cut_semantics",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -1913,3 +1919,22 @@ def test_priority_sla_single_fact_pass(q):
         assert "Window" not in phys, (key, phys)
         assert phys.count("BroadcastNestedLoopJoin") <= 1, (key, phys)
         assert "CartesianProduct" not in phys, (key, phys)
+
+
+def test_rankedreports_no_global_rank_over_census(q):
+    """§2.BC: bc1's WITH-TIES membership and bc3's three cut counts
+    derive from TakeOrderedAndProject + broadcast thresholds — the only
+    SinglePartition windows run over the tie-inclusive head (bounded),
+    never the census; bc2's head+OTHER is TakeOrdered + 1-row
+    subtraction; bc4's rank window partitions by nation."""
+    for key in ("q_top_parts_with_ties", "q_rank_cut_semantics",
+                "q_top_brands_plus_other"):
+        phys = physical_plan(q(key))
+        assert "TakeOrderedAndProject" in phys, (key, phys)
+        assert "Scan ExistingRDD" in phys, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert phys.count("SinglePartition") <= 2, (key, phys)
+    phys4 = physical_plan(q("q_nation_top3_customers"))
+    assert "SinglePartition" not in phys4, phys4
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in phys4, phys4

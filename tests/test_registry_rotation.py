@@ -101,9 +101,12 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
+    # sixteenth amendment: the nineteenth batch's rankedreports module
+    # joins the round-16 lead after backlog
     tenth_lead = (
         f"{registry._PKG}.operators.bridge",
         f"{registry._PKG}.operators.backlog",
+        f"{registry._PKG}.operators.rankedreports",
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
     )
@@ -305,6 +308,10 @@ def test_post_presample_tail_outside_pinned_windows():
     ):
         assert k in set(_first50(15)), k
     for k in (
+        "q_top_parts_with_ties",
+        "q_top_brands_plus_other",
+        "q_rank_cut_semantics",
+        "q_nation_top3_customers",
         "q_bridge_pvm_brand",
         "q_bridge_new_lost",
         "q_bridge_waterfall",
