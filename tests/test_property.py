@@ -1772,3 +1772,108 @@ def test_hoover_fuzz_matches_python_and_bounded(spark, spends):
     )
     assert row["hoover_bp"] == want
     assert 0 <= row["hoover_bp"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# WITH-TIES threshold identity fuzz (§2.BC, round 9). bc1 replaces the
+# global rank window with "value >= the k-th row_number value"; the
+# identity rank(r) <= k  <=>  r >= t_k must hold for ANY multiset,
+# including all-equal values (everything ties into the head) and heavy
+# duplicates straddling position k. Fuzz the Spark threshold spelling
+# against the direct Python ranking.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(12), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.one_of(
+        st.lists(st.integers(0, 20), min_size=1, max_size=60),
+        st.integers(1, 30).map(lambda n: [7] * n),  # total tie
+    ),
+    k=st.sampled_from([1, 3, 10]),
+)
+def test_with_ties_threshold_identity_fuzz(spark, vals, k):
+    ranked = sorted(vals, reverse=True)
+    expect = {
+        i for i, v in enumerate(vals)
+        if 1 + sum(1 for w in vals if w > v) <= k
+    }
+    sdf = spark.createDataFrame(list(enumerate(vals)), "idx BIGINT, v BIGINT")
+    thresh = (
+        sdf.orderBy(F.col("v").desc(), "idx").limit(k)
+        .agg(F.min("v").cast("long").alias("t"))
+    )
+    got = {
+        r["idx"]
+        for r in sdf.crossJoin(F.broadcast(thresh))
+        .where(F.col("v") >= F.col("t"))
+        .collect()
+    }
+    assert got == expect
+    # the threshold really is the k-th row_number value
+    t_k = ranked[k - 1] if len(ranked) >= k else ranked[-1]
+    [row] = thresh.collect()
+    assert row["t"] == t_k
+
+
+# ---------------------------------------------------------------------------
+# Trade-balance zero-sum fuzz (§2.AY, round 9). For ANY bilateral flow
+# multiset the cross-border exports and imports are the same ledger read
+# from opposite sides, so Σ balances == 0 exactly — including one-nation
+# corpora (no cross-border rows at all) and asymmetric corridors. Fuzz
+# the full-outer merge spelling.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=_n(12), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    flows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # customer nation id
+            st.integers(0, 5),  # supplier nation id
+            st.integers(0, 10**9),  # flow cents
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+def test_trade_balance_zero_sum_fuzz(spark, flows):
+    agg = {}
+    for cn, sn, cents in flows:
+        agg[(cn, sn)] = agg.get((cn, sn), 0) + cents
+    sdf = spark.createDataFrame(
+        [(cn, sn, c) for (cn, sn), c in agg.items()],
+        "cn BIGINT, sn BIGINT, flow_cents BIGINT",
+    )
+    xb = sdf.where(F.col("cn") != F.col("sn"))
+    exports = xb.groupBy(F.col("sn").alias("nation")).agg(
+        F.sum("flow_cents").cast("long").alias("e")
+    )
+    imports = xb.groupBy(F.col("cn").alias("nation")).agg(
+        F.sum("flow_cents").cast("long").alias("i")
+    )
+    rows = (
+        exports.join(imports, "nation", "full_outer")
+        .select(
+            "nation",
+            (F.coalesce("e", F.lit(0)) - F.coalesce("i", F.lit(0))).alias(
+                "balance"
+            ),
+        )
+        .collect()
+    )
+    exp_py, imp_py = {}, {}
+    for (cn, sn), c in agg.items():
+        if cn == sn:
+            continue
+        exp_py[sn] = exp_py.get(sn, 0) + c
+        imp_py[cn] = imp_py.get(cn, 0) + c
+    got = {r["nation"]: r["balance"] for r in rows}
+    assert got == {
+        n: exp_py.get(n, 0) - imp_py.get(n, 0)
+        for n in set(exp_py) | set(imp_py)
+    }
+    assert sum(got.values()) == 0  # the ledger identity
