@@ -206,6 +206,17 @@ _TAIL2 = (
     # below); the r16 presample pair is regenerated once more. All
     # other committed windows are unaffected.
     f"{_PKG}.operators.rankedreports",
+    # Round-9 twentieth batch: exact least-squares / correlation
+    # (§2.BD). Joins the round-19 lead after procurement (seventeenth
+    # amendment, see below); the r19 presample pair is regenerated
+    # alongside. All other committed windows are unaffected.
+    f"{_PKG}.operators.regression",
+    # Round-9 twenty-first batch: event-study / difference-in-
+    # differences (§2.BE). Joins the round-18 lead after sqlsurface
+    # (eighteenth amendment, see below); the r18 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.eventstudy",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -406,11 +417,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # keys) leads the SECOND pass through this slot (round 18);
         # round 13 keeps its committed receval window. Thirteenth
         # amendment: the sixteenth batch's tradeflow module (4 keys)
-        # prepends to that lead; r18 pair regenerated.
+        # prepends to that lead; r18 pair regenerated. Eighteenth
+        # amendment: the twenty-first batch's eventstudy module (4
+        # keys) joins it; r18 pair regenerated again.
         if rnd >= 18:
             lead = (
                 f"{_PKG}.operators.tradeflow",
                 f"{_PKG}.operators.sqlsurface",
+                f"{_PKG}.operators.eventstudy",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)
@@ -421,11 +435,14 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # 5 keys) leads the SECOND pass through this slot (round 19);
         # round 14 keeps its committed integrity window. Thirteenth
         # amendment: the sixteenth batch's cadence module (4 keys)
-        # prepends to that lead; r19 pair regenerated.
+        # prepends to that lead; r19 pair regenerated. Seventeenth
+        # amendment: the twentieth batch's regression module (4 keys)
+        # joins it; r19 pair regenerated again.
         if rnd >= 19:
             lead = (
                 f"{_PKG}.operators.cadence",
                 f"{_PKG}.operators.procurement",
+                f"{_PKG}.operators.regression",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

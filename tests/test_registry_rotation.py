@@ -119,14 +119,18 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.fulfillment",
     )
     # thirteenth amendment: the sixteenth batch prepends tradeflow to
-    # the round-18 lead and cadence to the round-19 lead
+    # the round-18 lead and cadence to the round-19 lead; the
+    # eighteenth amendment appends eventstudy to round 18 and the
+    # seventeenth appends regression to round 19
     twelfth_lead = (
         f"{registry._PKG}.operators.tradeflow",
         f"{registry._PKG}.operators.sqlsurface",
+        f"{registry._PKG}.operators.eventstudy",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
         f"{registry._PKG}.operators.procurement",
+        f"{registry._PKG}.operators.regression",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
