@@ -1938,3 +1938,48 @@ def test_rankedreports_no_global_rank_over_census(q):
     assert "SinglePartition" not in phys4, phys4
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in phys4, phys4
+
+
+def test_regression_single_pass_census_math(q):
+    """§2.BD: bd1/bd2 cost ONE lineitem⋈part join partial-aggregated to
+    the 25-row moment census (partial→final HashAggregate pair) — every
+    128-bit centered-moment product runs census-side, never windowed,
+    never a second fact pass; bd4's parameter table joins the fact as a
+    BROADCAST and both top-k stages are keyed windows (no
+    SinglePartition exchange anywhere)."""
+    for key in ("q_ols_brand_price_curve", "q_corr_quantity_price"):
+        phys = physical_plan(q(key))
+        joins = (phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+                 + phys.count("BroadcastHashJoin"))
+        assert joins == 1, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        assert "Window" not in phys, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    phys4 = physical_plan(q("q_ols_residual_outliers"))
+    assert "BroadcastHashJoin" in phys4, phys4
+    assert "SinglePartition" not in phys4, phys4
+    # exactly two rank windows (local salted + global top-k), both
+    # rank-limit-pushed (Spark 4 inserts WindowGroupLimit pairs, so the
+    # row_number never materializes a full partition sort result)
+    assert phys4.count("Window [") == 2, phys4
+    assert "WindowGroupLimit" in phys4, phys4
+
+
+def test_eventstudy_scenario_map_broadcast(q):
+    """§2.BE: the 4-row scenario map must join the fact by BROADCAST on
+    ship-year (a re-shuffle of lineitem on year would be a 100 TB
+    catastrophe for an 8-row answer); be1/be2/be4 collapse through a
+    partial→final aggregate pair with no window; be3's only window runs
+    over the 50-row brand×year census, partitioned (no SinglePartition
+    exchange)."""
+    for key in ("q_did_cells", "q_did_effect", "q_did_discount_depth"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        assert "Window" not in phys, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    phys3 = physical_plan(q("q_event_abnormal_brand_share"))
+    assert "Window" in phys3, phys3
+    assert "SinglePartition" not in phys3, phys3

@@ -1877,3 +1877,209 @@ def test_trade_balance_zero_sum_fuzz(spark, flows):
         for n in set(exp_py) | set(imp_py)
     }
     assert sum(got.values()) == 0  # the ledger identity
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS moment kernel fuzz (§2.BD, round 9). regression.py's
+# slope/intercept/r² all reduce to truncating divisions of 128-bit
+# centered moments (S_xy = n·Σxy − Σx·Σy, ...). This spec evaluates the
+# EXACT SQL spellings (Spark DECIMAL(38,0) `div` / DuckDB HUGEINT `//`)
+# over adversarial integer datasets — including engineered EXACTLY-
+# collinear groups (r² must be exactly 10⁴ bp, slope exactly 1000·a)
+# and negative-slope groups (the signed-truncation agreement) — against
+# a pure-Python integer rebuild.
+# ---------------------------------------------------------------------------
+
+
+def _tdiv_py(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # group key
+            st.integers(1, 50),                      # x (quantity-like)
+            st.integers(-10**7, 10**7),              # y (signed cents-like)
+        ),
+        min_size=1, max_size=120,
+    ),
+    lin=st.tuples(st.integers(-500, 500), st.integers(-10**6, 10**6)),
+)
+def test_ols_moment_kernel_matches_python(spark, rows, lin):
+    a, b = lin
+    # group 9 is EXACTLY collinear: y = a·x + b on distinct x values
+    # (and must stay so — the ≥2-distinct-x guard below skips it)
+    rows = rows + [(9, x, a * x + b) for x in (1, 7, 23, 50)]
+    # guarantee every random group has ≥ 2 distinct x (S_xx > 0)
+    for g in {r[0] for r in rows} - {9}:
+        rows += [(g, 1, 0), (g, 2, 0)]
+    expect = {}
+    for g in {r[0] for r in rows}:
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        s_xx = n * sum(x * x for x, _ in pts) - sx * sx
+        s_yy = n * sum(y * y for _, y in pts) - sy * sy
+        s_xy = n * sum(x * y for x, y in pts) - sx * sy
+        slope = _tdiv_py(1000 * s_xy, s_xx)
+        icept = _tdiv_py(1000 * sy - slope * sx, n)
+        r2 = None if s_yy == 0 else _tdiv_py(10000 * s_xy * s_xy, s_xx * s_yy)
+        expect[g] = (slope, icept, r2)
+    dec = "decimal(38,0)"
+    cen = (
+        spark.createDataFrame(rows, "g INT, x BIGINT, y BIGINT")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+            F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("syy"),
+            F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+        )
+        .select(
+            "g", "n", "sx", "sy",
+            F.expr(f"n * sxx - CAST(sx AS {dec}) * sx").alias("s_xx"),
+            F.expr(f"n * syy - CAST(sy AS {dec}) * sy").alias("s_yy"),
+            F.expr(f"n * sxy - CAST(sx AS {dec}) * sy").alias("s_xy"),
+        )
+    )
+    got_spark = {
+        r["g"]: (r["slope"], r["icept"], r["r2"])
+        for r in cen.select(
+            "g",
+            F.expr(f"CAST((CAST(1000 AS {dec}) * s_xy) div s_xx AS BIGINT)").alias("slope"),
+            F.expr(
+                f"CAST((CAST(1000 AS {dec}) * sy"
+                f" - ((CAST(1000 AS {dec}) * s_xy) div s_xx) * sx)"
+                f" div n AS BIGINT)"
+            ).alias("icept"),
+            F.expr(
+                f"CAST((CAST(10000 AS {dec}) * s_xy * s_xy)"
+                f" div nullif(s_xx * s_yy, CAST(0 AS {dec})) AS BIGINT)"
+            ).alias("r2"),
+        ).collect()
+    }
+    assert got_spark == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (g INT, x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        got_duck = {
+            g: (s, i, r2)
+            for g, s, i, r2 in con.execute(
+                """
+                WITH mom AS (
+                  SELECT g, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(y AS HUGEINT) * y) AS syy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM t GROUP BY 1
+                ),
+                cen AS (
+                  SELECT g, n, sx, sy,
+                         n * sxx - CAST(sx AS HUGEINT) * sx AS s_xx,
+                         n * syy - CAST(sy AS HUGEINT) * sy AS s_yy,
+                         n * sxy - CAST(sx AS HUGEINT) * sy AS s_xy
+                  FROM mom
+                )
+                SELECT g,
+                       CAST((1000 * s_xy) // s_xx AS BIGINT),
+                       CAST((1000 * CAST(sy AS HUGEINT)
+                             - ((1000 * s_xy) // s_xx) * sx) // n AS BIGINT),
+                       CAST((10000 * s_xy * s_xy)
+                            // nullif(s_xx * s_yy, 0) AS BIGINT)
+                FROM cen
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got_duck == expect
+    # the collinear group: r² exactly 10⁴, slope exactly 1000·a
+    assert expect[9][0] == 1000 * a
+    if expect[9][2] is not None:
+        assert expect[9][2] == 10000
+
+
+# ---------------------------------------------------------------------------
+# Arc-elasticity invariance fuzz (§2.BD bd3). The midpoint formula's
+# truncated milli value must be (a) identical in Spark `div`, DuckDB `//`
+# and Python truncation over SIGNED operands, (b) invariant under
+# direction swap (both differences flip sign — the rational is unchanged,
+# so its truncation is too), and (c) invariant under uniform integer
+# price scaling (elasticity is unitless).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(1, 10**9),   # q1
+            st.integers(1, 10**9),   # q2
+            st.integers(1, 10**9),   # p1
+            st.integers(1, 10**9),   # p2
+        ).filter(lambda t: t[2] != t[3]),
+        min_size=1, max_size=100,
+    ),
+    k=st.integers(2, 1000),
+)
+def test_arc_elasticity_invariances(spark, cases, k):
+    def e_py(q1, q2, p1, p2):
+        return _tdiv_py(1000 * (q2 - q1) * (p1 + p2), (q1 + q2) * (p2 - p1))
+
+    expect = [e_py(*c) for c in cases]
+    # direction-swap and price-scale invariance, pure integers
+    for (q1, q2, p1, p2), e in zip(cases, expect):
+        assert e_py(q2, q1, p2, p1) == e
+        assert e_py(q1, q2, k * p1, k * p2) == e
+    rows = [(i, *c) for i, c in enumerate(cases)]
+    dec = "decimal(38,0)"
+    got_spark = {
+        r["i"]: r["e"]
+        for r in spark.createDataFrame(
+            rows, "i INT, q1 BIGINT, q2 BIGINT, p1 BIGINT, p2 BIGINT"
+        )
+        .select(
+            "i",
+            F.expr(
+                f"CAST((CAST(1000 AS {dec}) * (q2 - q1)"
+                f" * (CAST(p1 AS {dec}) + p2))"
+                f" div (CAST(q1 + q2 AS {dec})"
+                f" * (CAST(p2 AS {dec}) - p1)) AS BIGINT)"
+            ).alias("e"),
+        )
+        .collect()
+    }
+    assert [got_spark[i] for i in range(len(cases))] == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (i INT, q1 BIGINT, q2 BIGINT, p1 BIGINT, p2 BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+        got_duck = dict(
+            con.execute(
+                """
+                SELECT i,
+                       CAST((1000 * (q2 - q1) * (CAST(p1 AS HUGEINT) + p2))
+                            // ((q1 + q2) * (CAST(p2 AS HUGEINT) - p1))
+                         AS BIGINT)
+                FROM t
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert [got_duck[i] for i in range(len(cases))] == expect
