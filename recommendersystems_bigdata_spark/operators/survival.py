@@ -1,0 +1,282 @@
+"""Survival analysis / time-to-reorder suite (SURVEY.md §2.BF, round 9).
+
+The censoring-aware "how long until the customer comes back" family —
+the discrete-time actuarial method over the orders fact. Subject =
+every customer with a first order; event = the SECOND order; subjects
+with no second order are RIGHT-CENSORED at the corpus's last order
+date (the standard convention — ignoring censoring would bias
+"survival" low for recently acquired customers). Time is measured in
+30-day months from the first order.
+
+- bf1: the life table — per month, subjects at risk, events,
+  censorings, and the discrete hazard in truncated bp. ``n_at_risk``
+  is the suffix sum of exits (every subject exits exactly once), a
+  window over the ≤~85-row month census, never over customers.
+- bf2: the Kaplan-Meier-style survival CURVE via an INTEGER
+  RECURRENCE, not a float product: ``S_m = (S_{m-1}·(10⁴−h_m)) div
+  10⁴`` in parts-per-million, folded by a native recursive CTE
+  (Spark 4 UnionLoop / DuckDB WITH RECURSIVE) over the month-indexed
+  life table. This is the actuarial truncation convention — each step
+  truncates once in integer space, so both engines produce the
+  identical curve (a float ``exp(Σln)`` spelling would hang the hash
+  on libm differences; adjudicated the same way as exactmath.py's
+  rounding discipline).
+- bf3: the summary — subjects, events, event rate, median survival
+  month (first month the curve crosses 500 000 ppm) and the
+  step-function survival at the 6/12/24-month horizons.
+- bf4: the per-market-segment comparison — same recurrence keyed by
+  segment (the recursive frontier is |segments| rows per iteration),
+  with per-segment event rates and the 12-month survival.
+
+Exactness: day counts and month buckets are exact integers; hazards
+are truncating-bp divisions; the curve is the integer recurrence
+above. Everything after the per-customer first/second-order pass runs
+on the bounded month census (gap span ≤ the ~7-year corpus ⇒ ≤ ~85
+months ⇒ recursion depth within Spark's default
+``spark.sql.cteRecursionLevelLimit`` of 100; a longer-lived corpus
+would raise that conf — documented, not binding here).
+
+Spark-first shape, sized for 100 TB:
+- ONE orders pass builds first-order dates (partial-aggregated
+  min per customer); the second-order probe is a self-join on
+  custkey with a date predicate — hash-partitioned equi-join, no
+  window over the fact. The 1-row corpus-max date attaches as a
+  broadcast.
+- The life table, hazards, recursion and horizon lookups all run on
+  the ≤~85-row (×5 segments for bf4) census — iteration count is the
+  TIME SPAN, not the data size, exactly like §2.Z's month spine.
+
+Oracle note: the SQL text is SHARED between engines (``{div}`` is the
+only substitution besides day-diff spelling), so the oracle certifies
+the same algebra, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recommendersystems_bigdata_spark.catalog import register_views
+from recommendersystems_bigdata_spark.registry import query
+
+# day difference b - a: the two engines spell it differently
+_DD_SPARK = "datediff(CAST({b} AS DATE), CAST({a} AS DATE))"
+_DD_DUCK = "datediff('day', CAST({a} AS DATE), CAST({b} AS DATE))"
+
+
+def _base(dd: str, div: str, seg: bool = False) -> str:
+    """The shared life-table CTE chain; ``seg`` adds the market-segment
+    key to every relation (bf4)."""
+    segsel = ", c.c_mktsegment AS seg" if seg else ""
+    segcol = ", seg" if seg else ""
+    segpart = "PARTITION BY seg " if seg else ""
+    segjoin = (
+        "JOIN customer c ON c.c_custkey = f.ck " if seg else ""
+    )
+    dd_t2 = dd.format(a="f.t1", b="s.t2")
+    dd_max = dd.format(a="f.t1", b="dmax")
+    return f"""
+firsts AS (
+  SELECT o_custkey AS ck, min(o_orderdate) AS t1 FROM orders GROUP BY 1
+),
+seconds AS (
+  SELECT o.o_custkey AS ck, min(o.o_orderdate) AS t2
+  FROM orders o JOIN firsts f ON o.o_custkey = f.ck AND o.o_orderdate > f.t1
+  GROUP BY 1
+),
+maxd AS (SELECT max(o_orderdate) AS dmax FROM orders),
+subj AS (
+  SELECT f.ck{segsel},
+         CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS event,
+         (CASE WHEN s.t2 IS NOT NULL THEN {dd_t2}
+               ELSE {dd_max} END) {div} 30 AS m
+  FROM firsts f
+  LEFT JOIN seconds s ON s.ck = f.ck
+  {segjoin}CROSS JOIN maxd
+),
+ec AS (
+  SELECT m{segcol}, CAST(sum(event) AS BIGINT) AS events,
+         CAST(sum(1 - event) AS BIGINT) AS censored
+  FROM subj GROUP BY ALL
+),
+lt AS (
+  SELECT m{segcol}, events, censored,
+         sum(events + censored) OVER ({segpart}ORDER BY m
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM ec
+),
+lt2 AS (
+  SELECT m{segcol}, n_at_risk, events, censored,
+         (10000 * events) {div} n_at_risk AS hazard_bp,
+         row_number() OVER ({segpart}ORDER BY m) AS i
+  FROM lt
+)
+"""
+
+
+def _km(div: str, seg: bool = False) -> str:
+    segcol = ", seg" if seg else ""
+    segeq = " AND l.seg = km.seg" if seg else ""
+    return f"""
+, km(i, m{segcol}, s_ppm) AS (
+  SELECT i, m{segcol}, (1000000 * (10000 - hazard_bp)) {div} 10000
+  FROM lt2 WHERE i = 1
+  UNION ALL
+  SELECT l.i, l.m{', l.seg' if seg else ''},
+         (km.s_ppm * (10000 - l.hazard_bp)) {div} 10000
+  FROM lt2 l JOIN km ON l.i = km.i + 1{segeq}
+)
+"""
+
+
+_LT_SELECT = """
+SELECT m, CAST(n_at_risk AS BIGINT) AS n_at_risk, events, censored,
+       CAST(hazard_bp AS BIGINT) AS hazard_bp
+FROM lt2 ORDER BY m
+"""
+
+
+@query(
+    "q_survival_life_table",
+    oracle="WITH " + _base(_DD_DUCK, "//") + _LT_SELECT,
+)
+def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.BF bf1 — the discrete life table of time-to-reorder: per
+    30-day month since a customer's first order, the subjects still at
+    risk, reorder events, right-censorings (no second order before the
+    corpus end), and the hazard ``(10⁴·events) div n_at_risk`` in
+    truncated bp. ``n_at_risk`` is the suffix sum of exits over the
+    bounded month census — every subject exits exactly once, an
+    identity the semantic gate pins.
+
+    Scale: one orders groupBy(custkey) min + one custkey equi-join for
+    the second-order probe; the census window runs over ≤~85 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql("WITH " + _base(_DD_SPARK, "div") + _LT_SELECT)
+
+
+_KM_SELECT = """
+SELECT m, CAST(hazard_bp AS BIGINT) AS hazard_bp, CAST(s_ppm AS BIGINT) AS s_ppm
+FROM km JOIN lt2 USING (i, m) ORDER BY m
+"""
+
+
+@query(
+    "q_survival_km_curve",
+    oracle="WITH RECURSIVE "
+    + _base(_DD_DUCK, "//")
+    + _km("//")
+    + _KM_SELECT,
+)
+def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.BF bf2 — the Kaplan-Meier-style survival curve as an INTEGER
+    recurrence folded by a native recursive CTE: ``S_m =
+    (S_{m-1}·(10⁴−h_m)) div 10⁴`` in ppm from ``S=10⁶``, one exact
+    truncation per observed month, identical in both engines (the
+    float ``exp(Σ ln(1−h))`` spelling would hash-diverge on libm; this
+    is the actuarial-truncation convention, stated in the module doc).
+    Monotone non-increasing by construction — pinned by the gate.
+
+    Scale: the recursion runs over the MONTH-INDEXED census — depth =
+    observed month span (≤~85 ≪ the 100-level conf), each iteration a
+    1-row frontier probe, nothing fact-sized inside the loop."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE " + _base(_DD_SPARK, "div") + _km("div") + _KM_SELECT
+    )
+
+
+_SUMMARY_SELECT = """
+, totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(sum(event) AS BIGINT) AS n_events
+  FROM subj
+),
+curve AS (
+  SELECT min(m) FILTER (WHERE s_ppm <= 500000) AS median_month,
+         coalesce(max_by(s_ppm, m) FILTER (WHERE m <= 6), 1000000) AS s6_ppm,
+         coalesce(max_by(s_ppm, m) FILTER (WHERE m <= 12), 1000000) AS s12_ppm,
+         coalesce(max_by(s_ppm, m) FILTER (WHERE m <= 24), 1000000) AS s24_ppm
+  FROM km
+)
+SELECT t.n_subjects, t.n_events,
+       CAST((10000 * t.n_events) {div} t.n_subjects AS BIGINT) AS event_rate_bp,
+       CAST(c.median_month AS BIGINT) AS median_month,
+       CAST(c.s6_ppm AS BIGINT) AS s6_ppm,
+       CAST(c.s12_ppm AS BIGINT) AS s12_ppm,
+       CAST(c.s24_ppm AS BIGINT) AS s24_ppm
+FROM totals t CROSS JOIN curve c
+"""
+
+
+@query(
+    "q_survival_summary",
+    oracle="WITH RECURSIVE "
+    + _base(_DD_DUCK, "//")
+    + _km("//")
+    + _SUMMARY_SELECT.format(div="//"),
+)
+def q_survival_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.BF bf3 — the one-row survival summary: subjects, reorder
+    events, the event rate in truncated bp, the MEDIAN survival month
+    (first month the ppm curve crosses 500 000 — NULL if it never
+    does) and the step-function survival at the 6/12/24-month
+    horizons (``max_by(s_ppm, m)`` over months ≤ the horizon — the
+    last completed step; 10⁶ ppm when no month has completed).
+
+    Scale: the same fact pass as bf1; the summary is census-side
+    FILTER-clause aggregation over the ≤~85-row curve, and the final
+    1-row × 1-row combine is a broadcast nested loop by construction."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _base(_DD_SPARK, "div")
+        + _km("div")
+        + _SUMMARY_SELECT.format(div="div")
+    )
+
+
+_SEG_SELECT = """
+, seg_totals AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(sum(event) AS BIGINT) AS n_events
+  FROM subj GROUP BY 1
+),
+seg_curve AS (
+  SELECT seg,
+         coalesce(max_by(s_ppm, m) FILTER (WHERE m <= 12), 1000000) AS s12_ppm
+  FROM km GROUP BY 1
+)
+SELECT t.seg AS segment, t.n_subjects, t.n_events,
+       CAST((10000 * t.n_events) {div} t.n_subjects AS BIGINT) AS event_rate_bp,
+       CAST(c.s12_ppm AS BIGINT) AS s12_ppm
+FROM seg_totals t JOIN seg_curve c ON c.seg = t.seg
+ORDER BY segment
+"""
+
+
+@query(
+    "q_survival_by_segment",
+    oracle="WITH RECURSIVE "
+    + _base(_DD_DUCK, "//", seg=True)
+    + _km("//", seg=True)
+    + _SEG_SELECT.format(div="//"),
+)
+def q_survival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.BF bf4 — the segment-stratified comparison: per market
+    segment, subjects, events, the event rate in truncated bp, and the
+    12-month survival from a SEGMENT-KEYED actuarial recurrence (the
+    recursive frontier carries one row per segment per iteration, so
+    stratification multiplies the frontier width — 5 rows — not the
+    depth). The cross-segment ordering of reorder propensity falls out
+    directly.
+
+    Scale: the per-customer pass gains one customer-dim join for the
+    segment key (SF-scaled, hash join); everything recursive stays on
+    the ≤ 5×85-row stratified census."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _base(_DD_SPARK, "div", seg=True)
+        + _km("div", seg=True)
+        + _SEG_SELECT.format(div="div")
+    )

@@ -217,6 +217,16 @@ _TAIL2 = (
     # regenerated alongside. All other committed windows are
     # unaffected.
     f"{_PKG}.operators.eventstudy",
+    # Round-9 twenty-second batch: survival analysis / time-to-reorder
+    # (§2.BF). Joins the round-15 lead after spatial (nineteenth
+    # amendment, see below); the r15 presample pair is regenerated
+    # alongside. All other committed windows are unaffected.
+    f"{_PKG}.operators.survival",
+    # Round-9 twenty-third batch: spatial hotspot clustering (§2.BG).
+    # Joins the round-16 lead after sketchops (twentieth amendment,
+    # see below); the r16 presample pair is regenerated alongside.
+    # All other committed windows are unaffected.
+    f"{_PKG}.operators.hotspot",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -344,12 +354,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # it; round 10 keeps its committed overflow-led window verbatim.
         # Fourteenth amendment: the seventeenth batch's standardize
         # module (4 keys) prepends to that lead; r15 pair regenerated.
-        # (Round 20 is handled above and keeps its committed window.)
+        # Nineteenth amendment: the twenty-second batch's survival
+        # module (4 keys) joins it after spatial; r15 pair regenerated
+        # again. (Round 20 is handled above and keeps its committed
+        # window.)
         if rnd >= 15:
             lead = (
                 f"{_PKG}.operators.standardize",
                 f"{_PKG}.operators.inventory",
                 f"{_PKG}.operators.spatial",
+                f"{_PKG}.operators.survival",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)
@@ -380,6 +394,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # tail keeps its round-6/11 evidence; r16 pair regenerated.
         # Sixteenth amendment: the nineteenth batch's rankedreports
         # module (4 keys) joins it; r16 pair regenerated again.
+        # Twentieth amendment: the twenty-third batch's hotspot module
+        # (4 keys) joins it after sketchops; r16 pair regenerated once
+        # more.
         if rnd >= 16:
             lead = (
                 f"{_PKG}.operators.bridge",
@@ -387,6 +404,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.rankedreports",
                 f"{_PKG}.operators.calendar",
                 f"{_PKG}.operators.sketchops",
+                f"{_PKG}.operators.hotspot",
             )
             rest = _module_order(11)
             return lead + tuple(m for m in rest if m not in lead)

@@ -538,6 +538,17 @@ _BNLJ_ALLOWED = {
     "q_top_parts_with_ties",
     "q_top_brands_plus_other",
     "q_rank_cut_semantics",
+    # §2.BF: the 1-row corpus-max-date broadcast attaches to the
+    # per-customer subject relation (an O(n) map-side attach, the same
+    # device as §2.AB's tenure censoring); bf3 adds the 1-row × 1-row
+    # totals × curve combine
+    "q_survival_life_table",
+    "q_survival_km_curve",
+    "q_survival_summary",
+    "q_survival_by_segment",
+    # §2.BG: the 1-row (total, nonempty) stats broadcast vs the ≤648-
+    # cell census (the threshold compare)
+    "q_hotspot_cells",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking

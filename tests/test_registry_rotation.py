@@ -94,21 +94,27 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     # fourteenth amendment: the seventeenth batch prepends standardize
     # to the round-15 lead (round 20's fill shifts with it — its pair
     # is regenerated alongside)
+    # nineteenth amendment: the twenty-second batch's survival module
+    # joins the round-15 lead after spatial
     ninth_lead = (
         f"{registry._PKG}.operators.standardize",
         f"{registry._PKG}.operators.inventory",
         f"{registry._PKG}.operators.spatial",
+        f"{registry._PKG}.operators.survival",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
     # sixteenth amendment: the nineteenth batch's rankedreports module
     # joins the round-16 lead after backlog
+    # twentieth amendment: the twenty-third batch's hotspot module
+    # joins the round-16 lead after sketchops
     tenth_lead = (
         f"{registry._PKG}.operators.bridge",
         f"{registry._PKG}.operators.backlog",
         f"{registry._PKG}.operators.rankedreports",
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
+        f"{registry._PKG}.operators.hotspot",
     )
     # fifteenth amendment: the eighteenth batch's priority_sla module
     # joins the round-17 lead after inequality
