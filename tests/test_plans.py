@@ -1994,3 +1994,35 @@ def test_eventstudy_scenario_map_broadcast(q):
     phys3 = physical_plan(q("q_event_abnormal_brand_share"))
     assert "Window" in phys3, phys3
     assert "SinglePartition" not in phys3, phys3
+
+
+def test_survival_census_recursion(q):
+    """§2.BF: the fact cost is ONE orders groupBy + one custkey
+    equi-join probe; the recursion (bf2/bf3/bf4) runs as a UnionLoop
+    over the month-indexed census — no fact relation inside the loop
+    (the loop joins lt2, a ≤~85-row frame). The life table's suffix
+    window is census-side."""
+    phys1 = physical_plan(q("q_survival_life_table"))
+    assert phys1.count("HashAggregate") >= 2, phys1
+    assert "UnionLoop" not in phys1, phys1  # bf1 is recursion-free
+    phys2 = physical_plan(q("q_survival_km_curve"))
+    assert "UnionLoop" in phys2 or "Recursion" in phys2, phys2
+    for key in ("q_survival_summary", "q_survival_by_segment"):
+        phys = physical_plan(q(key))
+        assert "CartesianProduct" not in phys, (key, phys)
+
+
+def test_hotspot_stencil_equi_join_and_bounded_cc(q):
+    """§2.BG: adjacency comes from the stencil EXPLODE + equi-join on
+    the neighbor cell id — never an inequality nested loop (bg1's only
+    BNLJ is the adjudicated 1-row stats attach); the CC loop's lineage
+    is checkpoint-cut, so the cluster rollup plan reads the bounded
+    label scan, not a replay of the iteration."""
+    phys1 = physical_plan(q("q_hotspot_cells"))
+    assert phys1.count("BroadcastNestedLoopJoin") <= 1, phys1
+    for key in ("q_hotspot_clusters", "q_hotspot_largest_cluster",
+                "q_hotspot_size_classes"):
+        phys = physical_plan(q(key))
+        assert "Scan ExistingRDD" in phys, (key, phys)  # checkpoint-cut
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
