@@ -227,6 +227,18 @@ _TAIL2 = (
     # see below); the r16 presample pair is regenerated alongside.
     # All other committed windows are unaffected.
     f"{_PKG}.operators.hotspot",
+    # Round-9 twenty-fourth batch: period-over-period calendar
+    # comparisons (§2.BH). Joins the round-17 lead after fulfillment
+    # (twenty-first amendment, see below); the r17 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.periodcmp",
+    # Round-9 twenty-fifth batch: statistical process control charts
+    # (§2.BI). Joins the round-20 lead after apportion (appended to
+    # _R20_LEAD — twenty-second amendment); the r20 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.spc",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -245,6 +257,9 @@ _R20_LEAD = (
     f"{_PKG}.operators.contingency",
     f"{_PKG}.operators.sampling2",
     f"{_PKG}.operators.apportion",
+    # twenty-second amendment: the twenty-fifth batch (SPC charts,
+    # §2.BI) joins the round-20 lead; the r20 pair is regenerated.
+    f"{_PKG}.operators.spc",
 )
 
 
@@ -419,12 +434,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # keeps its round-7/12 evidence; r17 pair regenerated.
         # Fifteenth amendment: the eighteenth batch's priority_sla
         # module (4 keys) joins it; r17 pair regenerated again.
+        # Twenty-first amendment: the twenty-fourth batch's periodcmp
+        # module (4 keys) joins it after fulfillment; r17 pair
+        # regenerated once more.
         if rnd >= 17:
             lead = (
                 f"{_PKG}.operators.inequality",
                 f"{_PKG}.operators.priority_sla",
                 f"{_PKG}.operators.pricing",
                 f"{_PKG}.operators.fulfillment",
+                f"{_PKG}.operators.periodcmp",
             )
             rest = _module_order(12)
             return lead + tuple(m for m in rest if m not in lead)

@@ -118,11 +118,14 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
     )
     # fifteenth amendment: the eighteenth batch's priority_sla module
     # joins the round-17 lead after inequality
+    # twenty-first amendment: the twenty-fourth batch's periodcmp
+    # module joins the round-17 lead after fulfillment
     eleventh_lead = (
         f"{registry._PKG}.operators.inequality",
         f"{registry._PKG}.operators.priority_sla",
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
+        f"{registry._PKG}.operators.periodcmp",
     )
     # thirteenth amendment: the sixteenth batch prepends tradeflow to
     # the round-18 lead and cadence to the round-19 lead; the
