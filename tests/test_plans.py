@@ -549,6 +549,14 @@ _BNLJ_ALLOWED = {
     # §2.BG: the 1-row (total, nonempty) stats broadcast vs the ≤648-
     # cell census (the threshold compare)
     "q_hotspot_cells",
+    # §2.BH bh4: the 1-row delta-total broadcast vs the 25-brand census
+    "q_yoy_brand_contribution",
+    # §2.BI: 1-row center/limit broadcasts vs the ≤84-row month census
+    # (bi4 additionally combines its two 1-row scorecard legs)
+    "q_spc_pchart_returns",
+    "q_spc_xmr_revenue",
+    "q_spc_runs_rules",
+    "q_spc_summary",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2026,3 +2034,33 @@ def test_hotspot_stencil_equi_join_and_bounded_cc(q):
         assert "Scan ExistingRDD" in phys, (key, phys)  # checkpoint-cut
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in phys, (key, phys)
+
+
+def test_periodcmp_census_side_alignment(q):
+    """§2.BH: bh1/bh2 cost ONE fact aggregation each — the SPLY/YTD
+    self-joins run on the ≤84-row month census (broadcast hash join of
+    census vs census, or SMJ of two bounded sides), never a second
+    fact pass; bh3's ordered window is census-bounded; bh4's only
+    nested loop is the adjudicated 1-row total."""
+    for key in ("q_sply_monthly", "q_ytd_comparison"):
+        phys = physical_plan(q(key))
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in phys, (key, phys)
+    phys4 = physical_plan(q("q_yoy_brand_contribution"))
+    assert phys4.count("BroadcastNestedLoopJoin") <= 1, phys4
+    assert "CartesianProduct" not in phys4, phys4
+
+
+def test_spc_single_fact_pass_censuses(q):
+    """§2.BI: each chart costs ONE partial-aggregated fact pass to the
+    month census; centers/limits ride 1-row broadcasts (the
+    adjudicated nested loops); no fact-sized window anywhere — every
+    Window's input is the bounded census."""
+    for key in ("q_spc_pchart_returns", "q_spc_xmr_revenue",
+                "q_spc_runs_rules"):
+        phys = physical_plan(q(key))
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)  # censuses combine by broadcast only
