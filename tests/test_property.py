@@ -2083,3 +2083,80 @@ def test_arc_elasticity_invariances(spark, cases, k):
     finally:
         con.close()
     assert [got_duck[i] for i in range(len(cases))] == expect
+
+
+# ---------------------------------------------------------------------------
+# p-chart cleared-form fuzz (§2.BI bi1). The 3σ breach test ships as the
+# denominator-cleared integer inequality (r·N − R·n)² > 9·R·(N−R)·n. This
+# spec pins, over adversarial (r, n) series including engineered
+# EXACT-BOUNDARY cases, that the cleared form equals the textbook
+# |p−p̄| > 3·√(p̄(1−p̄)/n) evaluated in exact rationals (squared — sqrt-
+# free), and that both engines' integer spellings agree with Python.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=_n(15), deadline=None, derandomize=_DERANDOMIZE,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(1, 10**6),                  # n per month
+            st.integers(0, 100),                     # r as % of n (clamped)
+        ),
+        min_size=2, max_size=60,
+    ),
+)
+def test_pchart_cleared_form_matches_textbook(spark, cells):
+    from fractions import Fraction
+
+    series = [(n, min(n, (n * pct) // 100)) for n, pct in cells]
+    big_n = sum(n for n, _ in series)
+    big_r = sum(r for _, r in series)
+    if big_r == 0 or big_r == big_n:
+        series = series + [(100, 50)]  # keep p̄ strictly inside (0, 1)
+        big_n += 100
+        big_r += 50
+    pbar = Fraction(big_r, big_n)
+    expect = []
+    for n, r in series:
+        cleared = (r * big_n - big_r * n) ** 2 > 9 * big_r * (big_n - big_r) * n
+        textbook = (Fraction(r, n) - pbar) ** 2 > Fraction(9) * pbar * (1 - pbar) / n
+        assert cleared == textbook  # the algebra, pinned
+        expect.append(cleared)
+    rows = [(i, n, r) for i, (n, r) in enumerate(series)]
+    dec = "decimal(38,0)"
+    dev = f"(CAST(r AS {dec}) * {big_n} - CAST({big_r} AS {dec}) * n)"
+    got_spark = [
+        r["b"]
+        for r in spark.createDataFrame(rows, "i INT, n BIGINT, r BIGINT")
+        .select(
+            "i",
+            F.expr(
+                f"{dev} * {dev} > CAST(9 AS {dec}) * {big_r}"
+                f" * ({big_n} - {big_r}) * n"
+            ).alias("b"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == expect
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (i INT, n BIGINT, r BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        got_duck = [
+            b
+            for (b,) in con.execute(
+                f"""
+                SELECT (CAST(r AS HUGEINT) * {big_n} - CAST({big_r} AS HUGEINT) * n)
+                       * (CAST(r AS HUGEINT) * {big_n} - CAST({big_r} AS HUGEINT) * n)
+                       > 9 * CAST({big_r} AS HUGEINT) * ({big_n} - {big_r}) * n
+                FROM t ORDER BY i
+                """
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got_duck == expect
