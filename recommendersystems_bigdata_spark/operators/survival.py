@@ -45,6 +45,16 @@ Spark-first shape, sized for 100 TB:
 - The life table, hazards, recursion and horizon lookups all run on
   the ≤~85-row (×5 segments for bf4) census — iteration count is the
   TIME SPAN, not the data size, exactly like §2.Z's month spine.
+- CRITICAL lowering detail, measured (SCALE.md §14): Spark's
+  UnionLoop RE-EVALUATES the static side's plan every iteration, so a
+  recursive CTE written directly over the fact-derived ``lt2`` costs
+  (iterations × the whole fact pipeline) — 57 s at sf0.1, 136 s at
+  10×. The engine therefore materializes the bounded census FIRST
+  (``localCheckpoint``, the repo's standard pinning device), registers
+  it as a temp view, and recurses over THAT — the loop then touches
+  ≤~85 pinned rows per iteration (0.9 s at sf0.1, flat at 10×). The
+  oracle keeps the single-statement spelling: DuckDB evaluates each
+  CTE once, so the two texts stay semantically identical.
 
 Oracle note: the SQL text is SHARED between engines (``{div}`` is the
 only substitution besides day-diff spelling), so the oracle certifies
@@ -113,19 +123,40 @@ lt2 AS (
 """
 
 
-def _km(div: str, seg: bool = False) -> str:
+def _km(div: str, seg: bool = False, rel: str = "lt2") -> str:
+    """The actuarial fold. ``rel`` is the life-table relation: the in-
+    statement ``lt2`` CTE for the oracle, the PINNED temp view for the
+    engine (see the module doc's UnionLoop note)."""
     segcol = ", seg" if seg else ""
     segeq = " AND l.seg = km.seg" if seg else ""
     return f"""
-, km(i, m{segcol}, s_ppm) AS (
+ km(i, m{segcol}, s_ppm) AS (
   SELECT i, m{segcol}, (1000000 * (10000 - hazard_bp)) {div} 10000
-  FROM lt2 WHERE i = 1
+  FROM {rel} WHERE i = 1
   UNION ALL
   SELECT l.i, l.m{', l.seg' if seg else ''},
          (km.s_ppm * (10000 - l.hazard_bp)) {div} 10000
-  FROM lt2 l JOIN km ON l.i = km.i + 1{segeq}
+  FROM {rel} l JOIN km ON l.i = km.i + 1{segeq}
 )
 """
+
+
+def _pinned_lt2(spark: SparkSession, sf_dir: str, seg: bool = False) -> str:
+    """Materialize the bounded life-table census (localCheckpoint) and
+    register it as a temp view for the recursion to iterate over —
+    without this, Spark's UnionLoop re-runs the fact pipeline every
+    iteration (measured; module doc). Returns the view name."""
+    name = "survival_lt2_seg" if seg else "survival_lt2"
+    register_views(spark, sf_dir)
+    segcol = ", seg" if seg else ""
+    df = spark.sql(
+        "WITH "
+        + _base(_DD_SPARK, "div", seg=seg)
+        + f"SELECT m{segcol}, n_at_risk, events, censored, hazard_bp, i"
+        f" FROM lt2"
+    ).localCheckpoint()
+    df.createOrReplaceTempView(name)
+    return name
 
 
 _LT_SELECT = """
@@ -156,7 +187,7 @@ def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_SELECT = """
 SELECT m, CAST(hazard_bp AS BIGINT) AS hazard_bp, CAST(s_ppm AS BIGINT) AS s_ppm
-FROM km JOIN lt2 USING (i, m) ORDER BY m
+FROM km JOIN {rel} USING (i, m) ORDER BY m
 """
 
 
@@ -164,8 +195,9 @@ FROM km JOIN lt2 USING (i, m) ORDER BY m
     "q_survival_km_curve",
     oracle="WITH RECURSIVE "
     + _base(_DD_DUCK, "//")
+    + ","
     + _km("//")
-    + _KM_SELECT,
+    + _KM_SELECT.format(rel="lt2"),
 )
 def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.BF bf2 — the Kaplan-Meier-style survival curve as an INTEGER
@@ -176,20 +208,24 @@ def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the actuarial-truncation convention, stated in the module doc).
     Monotone non-increasing by construction — pinned by the gate.
 
-    Scale: the recursion runs over the MONTH-INDEXED census — depth =
-    observed month span (≤~85 ≪ the 100-level conf), each iteration a
-    1-row frontier probe, nothing fact-sized inside the loop."""
-    register_views(spark, sf_dir)
+    Scale: the recursion runs over the CHECKPOINT-PINNED month census
+    (see the module doc's UnionLoop note) — depth = observed month
+    span (≤~85 ≪ the 100-level conf), each iteration a 1-row frontier
+    probe against ≤~85 pinned rows, nothing fact-sized inside the
+    loop."""
+    view = _pinned_lt2(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE " + _base(_DD_SPARK, "div") + _km("div") + _KM_SELECT
+        "WITH RECURSIVE"
+        + _km("div", rel=view)
+        + _KM_SELECT.format(rel=view)
     )
 
 
 _SUMMARY_SELECT = """
 , totals AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
-         CAST(sum(event) AS BIGINT) AS n_events
-  FROM subj
+  SELECT CAST(sum(events + censored) AS BIGINT) AS n_subjects,
+         CAST(sum(events) AS BIGINT) AS n_events
+  FROM {rel}
 ),
 curve AS (
   SELECT min(m) FILTER (WHERE s_ppm <= 500000) AS median_month,
@@ -212,8 +248,9 @@ FROM totals t CROSS JOIN curve c
     "q_survival_summary",
     oracle="WITH RECURSIVE "
     + _base(_DD_DUCK, "//")
+    + ","
     + _km("//")
-    + _SUMMARY_SELECT.format(div="//"),
+    + _SUMMARY_SELECT.format(div="//", rel="lt2"),
 )
 def q_survival_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.BF bf3 — the one-row survival summary: subjects, reorder
@@ -223,23 +260,25 @@ def q_survival_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizons (``max_by(s_ppm, m)`` over months ≤ the horizon — the
     last completed step; 10⁶ ppm when no month has completed).
 
-    Scale: the same fact pass as bf1; the summary is census-side
-    FILTER-clause aggregation over the ≤~85-row curve, and the final
-    1-row × 1-row combine is a broadcast nested loop by construction."""
-    register_views(spark, sf_dir)
+    Scale: the same fact pass as bf1, pinned once; subject totals are
+    exit sums over the pinned census (every subject exits exactly
+    once, so Σ(events+censored) IS the cohort); the summary is
+    census-side FILTER-clause aggregation over the ≤~85-row curve, and
+    the final 1-row × 1-row combine is a broadcast nested loop by
+    construction."""
+    view = _pinned_lt2(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE "
-        + _base(_DD_SPARK, "div")
-        + _km("div")
-        + _SUMMARY_SELECT.format(div="div")
+        "WITH RECURSIVE"
+        + _km("div", rel=view)
+        + _SUMMARY_SELECT.format(div="div", rel=view)
     )
 
 
 _SEG_SELECT = """
 , seg_totals AS (
-  SELECT seg, CAST(count(*) AS BIGINT) AS n_subjects,
-         CAST(sum(event) AS BIGINT) AS n_events
-  FROM subj GROUP BY 1
+  SELECT seg, CAST(sum(events + censored) AS BIGINT) AS n_subjects,
+         CAST(sum(events) AS BIGINT) AS n_events
+  FROM {rel} GROUP BY 1
 ),
 seg_curve AS (
   SELECT seg,
@@ -258,8 +297,9 @@ ORDER BY segment
     "q_survival_by_segment",
     oracle="WITH RECURSIVE "
     + _base(_DD_DUCK, "//", seg=True)
+    + ","
     + _km("//", seg=True)
-    + _SEG_SELECT.format(div="//"),
+    + _SEG_SELECT.format(div="//", rel="lt2"),
 )
 def q_survival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.BF bf4 — the segment-stratified comparison: per market
@@ -271,12 +311,11 @@ def q_survival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly.
 
     Scale: the per-customer pass gains one customer-dim join for the
-    segment key (SF-scaled, hash join); everything recursive stays on
-    the ≤ 5×85-row stratified census."""
-    register_views(spark, sf_dir)
+    segment key (SF-scaled, hash join); the stratified census is
+    pinned once and everything recursive stays on its ≤ 5×85 rows."""
+    view = _pinned_lt2(spark, sf_dir, seg=True)
     return spark.sql(
-        "WITH RECURSIVE "
-        + _base(_DD_SPARK, "div", seg=True)
-        + _km("div", seg=True)
-        + _SEG_SELECT.format(div="div")
+        "WITH RECURSIVE"
+        + _km("div", seg=True, rel=view)
+        + _SEG_SELECT.format(div="div", rel=view)
     )
