@@ -239,6 +239,18 @@ _TAIL2 = (
     # regenerated alongside. All other committed windows are
     # unaffected.
     f"{_PKG}.operators.spc",
+    # Round-9 twenty-sixth batch: forensic digit analytics / Benford
+    # screens (§2.BJ). Joins the round-18 lead after eventstudy
+    # (twenty-third amendment, see below); the r18 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.benford",
+    # Round-9 twenty-seventh batch: ABC-XYZ demand-variability
+    # classification (§2.BK). Joins the round-19 lead after regression
+    # (twenty-fourth amendment, see below); the r19 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.abcxyz",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -456,12 +468,15 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # amendment: the sixteenth batch's tradeflow module (4 keys)
         # prepends to that lead; r18 pair regenerated. Eighteenth
         # amendment: the twenty-first batch's eventstudy module (4
-        # keys) joins it; r18 pair regenerated again.
+        # keys) joins it; r18 pair regenerated again. Twenty-third
+        # amendment: the twenty-sixth batch's benford module (4 keys)
+        # joins it after eventstudy; r18 pair regenerated once more.
         if rnd >= 18:
             lead = (
                 f"{_PKG}.operators.tradeflow",
                 f"{_PKG}.operators.sqlsurface",
                 f"{_PKG}.operators.eventstudy",
+                f"{_PKG}.operators.benford",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)
@@ -474,12 +489,15 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # amendment: the sixteenth batch's cadence module (4 keys)
         # prepends to that lead; r19 pair regenerated. Seventeenth
         # amendment: the twentieth batch's regression module (4 keys)
-        # joins it; r19 pair regenerated again.
+        # joins it; r19 pair regenerated again. Twenty-fourth
+        # amendment: the twenty-seventh batch's abcxyz module (4 keys)
+        # joins it after regression; r19 pair regenerated once more.
         if rnd >= 19:
             lead = (
                 f"{_PKG}.operators.cadence",
                 f"{_PKG}.operators.procurement",
                 f"{_PKG}.operators.regression",
+                f"{_PKG}.operators.abcxyz",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

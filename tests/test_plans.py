@@ -557,6 +557,17 @@ _BNLJ_ALLOWED = {
     "q_spc_xmr_revenue",
     "q_spc_runs_rules",
     "q_spc_summary",
+    # §2.BJ: 1-row grand-total / statistic broadcasts vs the 9-digit /
+    # ≤100-pair / ≤5-band censuses
+    "q_benford_first_digit",
+    "q_digit_pair_uniformity",
+    "q_price_endings",
+    # §2.BK: the 1-row month-count M (and quantity/revenue totals)
+    # broadcast onto the part-catalog-sized moment relation
+    "q_xyz_cv_classes",
+    "q_demand_intermittency",
+    "q_abc_xyz_matrix",
+    "q_demand_class_summary",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2064,3 +2075,54 @@ def test_spc_single_fact_pass_censuses(q):
         assert "CartesianProduct" not in phys, (key, phys)
         joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
         assert joins == 0, (key, phys)  # censuses combine by broadcast only
+
+
+def test_benford_single_fact_pass_censuses(q):
+    """§2.BJ: every digit screen costs ONE partial-aggregated fact pass
+    to a bounded census (9 digits, suppliers×9, ≤100 pairs, ≤5 bands);
+    totals ride 1-row broadcasts (the adjudicated nested loops); bj2's
+    per-supplier total is a census-side window — no second fact
+    aggregation and no fact-sized window; bj4's band map reaches the
+    fact by BROADCAST hash join, never a shuffled dim join."""
+    for key in ("q_benford_first_digit", "q_benford_mad_screen",
+                "q_digit_pair_uniformity"):
+        phys = physical_plan(q(key))
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)
+    phys2 = physical_plan(q("q_benford_mad_screen"))
+    assert "BroadcastNestedLoopJoin" not in phys2, phys2  # window, no total
+    phys4 = physical_plan(q("q_price_endings"))
+    assert "BroadcastHashJoin" in phys4, phys4  # band map broadcasts
+    assert "CartesianProduct" not in phys4, phys4
+
+
+def test_abcxyz_census_reduction_and_keyed_join(q):
+    """§2.BK: bk1/bk2/bk4 cost ONE fact pass to the (part, month)
+    census plus a census-side reduction — at least two partial/final
+    aggregate pairs, no fact-sized window, the month count M attached
+    by the adjudicated 1-row broadcast; bk3's ABC⋈XYZ join is KEYED on
+    the part (hash or merge of two part-sized relations — never a
+    nested loop over the catalog)."""
+    for key in ("q_xyz_cv_classes", "q_demand_intermittency",
+                "q_demand_class_summary"):
+        phys = physical_plan(q(key))
+        assert phys.count("HashAggregate") >= 4, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        # bk4 replays the moment subtree (and its 1-row M attach) on
+        # both its total and group legs, plus its own 1-row quantity
+        # total — every nested loop is a 1-row broadcast
+        cap = 3 if key == "q_demand_class_summary" else 1
+        assert phys.count("BroadcastNestedLoopJoin") <= cap, (key, phys)
+        assert "Window" not in phys, (key, phys)
+    phys3 = physical_plan(q("q_abc_xyz_matrix"))
+    assert "CartesianProduct" not in phys3, phys3
+    keyed = (
+        phys3.count("SortMergeJoin") + phys3.count("ShuffledHashJoin")
+        + phys3.count("BroadcastHashJoin")
+    )
+    assert keyed >= 1, phys3
+    # three 1-row attaches: the ABC leg's grand total, the XYZ leg's
+    # month count M, and the revenue total for the share column
+    assert phys3.count("BroadcastNestedLoopJoin") <= 3, phys3

@@ -135,11 +135,17 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.tradeflow",
         f"{registry._PKG}.operators.sqlsurface",
         f"{registry._PKG}.operators.eventstudy",
+        # twenty-third amendment: the twenty-sixth batch's benford
+        # module joins the round-18 lead after eventstudy
+        f"{registry._PKG}.operators.benford",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
         f"{registry._PKG}.operators.procurement",
         f"{registry._PKG}.operators.regression",
+        # twenty-fourth amendment: the twenty-seventh batch's abcxyz
+        # module joins the round-19 lead after regression
+        f"{registry._PKG}.operators.abcxyz",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
