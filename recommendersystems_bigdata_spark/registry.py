@@ -251,6 +251,16 @@ _TAIL2 = (
     # regenerated alongside. All other committed windows are
     # unaffected.
     f"{_PKG}.operators.abcxyz",
+    # Round-9 twenty-eighth batch: context-window budget analytics
+    # (§2.BL). Joins the round-15 lead after survival (twenty-fifth
+    # amendment, see below); the r15 presample pair is regenerated
+    # alongside. All other committed windows are unaffected.
+    f"{_PKG}.ml.ctxbudget",
+    # Round-9 twenty-ninth batch: traffic-shape screens (§2.BM).
+    # Joins the round-16 lead after hotspot (twenty-sixth amendment,
+    # see below); the r16 presample pair is regenerated alongside.
+    # All other committed windows are unaffected.
+    f"{_PKG}.operators.botscreen",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -383,14 +393,17 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # module (4 keys) prepends to that lead; r15 pair regenerated.
         # Nineteenth amendment: the twenty-second batch's survival
         # module (4 keys) joins it after spatial; r15 pair regenerated
-        # again. (Round 20 is handled above and keeps its committed
-        # window.)
+        # again. Twenty-fifth amendment: the twenty-eighth batch's
+        # ctxbudget module (4 keys) joins it after survival; r15 pair
+        # regenerated once more. (Round 20 is handled above and keeps
+        # its committed window.)
         if rnd >= 15:
             lead = (
                 f"{_PKG}.operators.standardize",
                 f"{_PKG}.operators.inventory",
                 f"{_PKG}.operators.spatial",
                 f"{_PKG}.operators.survival",
+                f"{_PKG}.ml.ctxbudget",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)
@@ -423,7 +436,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # module (4 keys) joins it; r16 pair regenerated again.
         # Twentieth amendment: the twenty-third batch's hotspot module
         # (4 keys) joins it after sketchops; r16 pair regenerated once
-        # more.
+        # more. Twenty-sixth amendment: the twenty-ninth batch's
+        # botscreen module (4 keys) joins it after hotspot; r16 pair
+        # regenerated once more.
         if rnd >= 16:
             lead = (
                 f"{_PKG}.operators.bridge",
@@ -432,6 +447,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.calendar",
                 f"{_PKG}.operators.sketchops",
                 f"{_PKG}.operators.hotspot",
+                f"{_PKG}.operators.botscreen",
             )
             rest = _module_order(11)
             return lead + tuple(m for m in rest if m not in lead)

@@ -568,6 +568,10 @@ _BNLJ_ALLOWED = {
     "q_demand_intermittency",
     "q_abc_xyz_matrix",
     "q_demand_class_summary",
+    # §2.BL: 1-row chunk/doc/token totals broadcast vs the ≤8-row
+    # ladder censuses
+    "q_ctx_chunk_fanout",
+    "q_ctx_length_coverage",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2126,3 +2130,52 @@ def test_abcxyz_census_reduction_and_keyed_join(q):
     # three 1-row attaches: the ABC leg's grand total, the XYZ leg's
     # month count M, and the revenue total for the share column
     assert phys3.count("BroadcastNestedLoopJoin") <= 3, phys3
+
+
+def test_ctxbudget_map_side_census_no_explode(q):
+    """§2.BL: every budget query is a map-side token-count projection
+    (size(filter(split ...)) — the token relation NEVER explodes) into
+    a bounded census; bl1 computes all four candidate lengths in one
+    aggregate row (no per-length rescan: exactly one fact scan); the
+    only window (bl4) runs on the census."""
+    for key in ("q_ctx_truncation_loss", "q_ctx_padding_waste",
+                "q_ctx_chunk_fanout", "q_ctx_length_coverage"):
+        phys = physical_plan(q(key))
+        if key == "q_ctx_truncation_loss":
+            # bl1's stack() unpivot lowers to ONE Generate over the
+            # 1-row aggregate — the 4-row unpivot, not a token explode
+            assert phys.count("Generate") == 1, (key, phys)
+            assert phys.index("Generate") < phys.index("HashAggregate"), (
+                key, phys,
+            )  # Generate sits ABOVE the aggregate, fed by its 1 row
+        else:
+            assert "Generate" not in phys, (key, phys)  # no explode
+        assert "CartesianProduct" not in phys, (key, phys)
+        if key in ("q_ctx_chunk_fanout", "q_ctx_length_coverage"):
+            # census localCheckpoint cut the lineage: the one fact scan
+            # ran at checkpoint time; the visible plan reads the pinned
+            # bounded census, never parquet
+            assert phys.count("Scan parquet") == 0, (key, phys)
+            assert "Scan ExistingRDD" in phys, (key, phys)
+        else:
+            assert phys.count("Scan parquet") == 1, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)
+
+
+def test_botscreen_user_keyed_shapes(q):
+    """§2.BM: every screen's wide operations are keyed BY USER — the
+    burst RANGE frame, the gap lag, and the reductions all share the
+    user_id partitioning (no global window: every Window node carries
+    a user_id partition spec); bm2's mode join is census-vs-census on
+    the user key; nothing nested-loops."""
+    for key in ("q_burst_rate_screen", "q_metronome_screen",
+                "q_duty_cycle_profile", "q_traffic_screen_summary"):
+        phys = physical_plan(q(key))
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert "BroadcastNestedLoopJoin" not in phys, (key, phys)
+    for key in ("q_burst_rate_screen", "q_metronome_screen"):
+        plan = full_explain(q(key))
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln.lower():
+                assert "user_id" in ln, (key, ln)

@@ -101,6 +101,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.inventory",
         f"{registry._PKG}.operators.spatial",
         f"{registry._PKG}.operators.survival",
+        # twenty-fifth amendment: the twenty-eighth batch's ctxbudget
+        # module joins the round-15 lead after survival
+        f"{registry._PKG}.ml.ctxbudget",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
@@ -115,6 +118,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.calendar",
         f"{registry._PKG}.operators.sketchops",
         f"{registry._PKG}.operators.hotspot",
+        # twenty-sixth amendment: the twenty-ninth batch's botscreen
+        # module joins the round-16 lead after hotspot
+        f"{registry._PKG}.operators.botscreen",
     )
     # fifteenth amendment: the eighteenth batch's priority_sla module
     # joins the round-17 lead after inequality
