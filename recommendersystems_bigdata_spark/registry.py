@@ -272,6 +272,12 @@ _TAIL2 = (
     # presample pair is regenerated alongside. All other committed
     # windows are unaffected.
     f"{_PKG}.operators.anova",
+    # Round-9 thirty-second batch: aggregation-bias / Simpson's
+    # paradox audits (§2.BP). Joins the round-18 lead after benford
+    # (twenty-ninth amendment, see below); the r18 presample pair is
+    # regenerated alongside. All other committed windows are
+    # unaffected.
+    f"{_PKG}.operators.simpson",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -504,12 +510,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # keys) joins it; r18 pair regenerated again. Twenty-third
         # amendment: the twenty-sixth batch's benford module (4 keys)
         # joins it after eventstudy; r18 pair regenerated once more.
+        # Twenty-ninth amendment: the thirty-second batch's simpson
+        # module (4 keys) joins it after benford; r18 pair regenerated
+        # once more.
         if rnd >= 18:
             lead = (
                 f"{_PKG}.operators.tradeflow",
                 f"{_PKG}.operators.sqlsurface",
                 f"{_PKG}.operators.eventstudy",
                 f"{_PKG}.operators.benford",
+                f"{_PKG}.operators.simpson",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)

@@ -579,6 +579,10 @@ _BNLJ_ALLOWED = {
     "q_emb_label_balance",
     # §2.BO: the 1-row grand-total broadcast vs the 5-segment census
     "q_anova_segment_effects",
+    # §2.BP: 1-row pooled-sign / year-span broadcasts vs the bounded
+    # (segment, year) census
+    "q_simpson_reversal_audit",
+    "q_segment_trend_table",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2224,3 +2228,19 @@ def test_anova_broadcast_dim_attach_and_census_reduction(q):
         assert joins == 0, (key, phys)
     phys4 = physical_plan(q("q_variance_explained_ladder"))
     assert "CartesianProduct" not in phys4, phys4
+
+
+def test_simpson_census_side_reductions(q):
+    """§2.BP: every audit reduces the (segment, year) census — one
+    orders pass with an AQE-decided dim attach (BroadcastHashJoin at
+    test SF), then census-side arithmetic only; pooled rows are the
+    adjudicated 1-row broadcasts."""
+    for key in ("q_trend_sign_by_segment", "q_simpson_reversal_audit",
+                "q_weighted_unweighted_gap", "q_segment_trend_table"):
+        phys = physical_plan(q(key))
+        assert "BroadcastHashJoin" in phys, (key, phys)
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
+        assert joins == 0, (key, phys)
+        assert "Window" not in phys, (key, phys)

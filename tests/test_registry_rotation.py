@@ -147,6 +147,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-third amendment: the twenty-sixth batch's benford
         # module joins the round-18 lead after eventstudy
         f"{registry._PKG}.operators.benford",
+        # twenty-ninth amendment: the thirty-second batch's simpson
+        # module joins the round-18 lead after benford
+        f"{registry._PKG}.operators.simpson",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
