@@ -52,7 +52,10 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 # rank (range shuffle + Arrow mapInPandas local index + broadcast
 # offsets, ranks.global_ntile) — the SinglePartition-eliminating path
 # under §2.AR/§2.AX whose Python-boundary cost no JVM-only headline
-# query exercises.
+# query exercises. The round-9 closing addition is q_emb_norm_audit:
+# the JVM higher-order-function fold over 64-wide float arrays
+# (§2.BN's codegen'd lambda loop), the array-HOF execution profile no
+# other headline query touches.
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -68,6 +71,7 @@ HEADLINE = (
     "q_seq_user_signature",
     "q_inv_fifo_allocation",
     "q_concentration_curve",
+    "q_emb_norm_audit",
 )
 
 N_SERIES = 3
@@ -119,13 +123,16 @@ def main() -> None:
     # changing the contracted top-level fields: compare r3_comparable_7q_sec
     # across all rounds, r6_comparable_10q_sec against BENCH_r0{5,6}.json's
     # "value", r8_comparable_11q_sec against BENCH_r0{7,8}.json's "value",
-    # r9_comparable_13q_sec against BENCH_LOCAL_r09.json's earlier "value",
-    # and "value" itself only from round 10 on.
+    # r9_comparable_13q_sec / r9_comparable_14q_sec against
+    # BENCH_LOCAL_r09.json's earlier "value" columns (the embedding-fold
+    # q_emb_norm_audit joined 15th at round-9 end), and "value" itself
+    # only from round 10 on.
     legacy_7q = round(sum(medians[n] for n in HEADLINE[:7]), 3)
     legacy_10q = round(sum(medians[n] for n in HEADLINE[:10]), 3)
     legacy_11q = round(sum(medians[n] for n in HEADLINE[:11]), 3)
     legacy_12q = round(sum(medians[n] for n in HEADLINE[:12]), 3)
     legacy_13q = round(sum(medians[n] for n in HEADLINE[:13]), 3)
+    legacy_14q = round(sum(medians[n] for n in HEADLINE[:14]), 3)
     print(
         json.dumps(
             {
@@ -140,6 +147,7 @@ def main() -> None:
                 "r8_comparable_11q_sec": legacy_11q,
                 "r9_comparable_12q_sec": legacy_12q,
                 "r9_comparable_13q_sec": legacy_13q,
+                "r9_comparable_14q_sec": legacy_14q,
             }
         )
     )
