@@ -278,6 +278,16 @@ _TAIL2 = (
     # regenerated alongside. All other committed windows are
     # unaffected.
     f"{_PKG}.operators.simpson",
+    # Round-9 thirty-third batch: revenue-retention bridges / NRR
+    # (§2.BQ). Joins the round-19 lead after abcxyz (thirtieth
+    # amendment, see below); the r19 presample pair is regenerated
+    # alongside. All other committed windows are unaffected.
+    f"{_PKG}.operators.revretention",
+    # Round-9 thirty-fourth batch: basket-shape censuses (§2.BR).
+    # Joins the round-15 lead after ctxbudget (thirty-first
+    # amendment, see below); the r15 presample pair is regenerated
+    # alongside. All other committed windows are unaffected.
+    f"{_PKG}.operators.basketshape",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -417,6 +427,9 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # ctxbudget module (4 keys) joins it after survival; r15 pair
         # regenerated once more. (Round 20 is handled above and keeps
         # its committed window.)
+        # Thirty-first amendment: the thirty-fourth batch's
+        # basketshape module (4 keys) joins it after ctxbudget; r15
+        # pair regenerated once more.
         if rnd >= 15:
             lead = (
                 f"{_PKG}.operators.standardize",
@@ -424,6 +437,7 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.spatial",
                 f"{_PKG}.operators.survival",
                 f"{_PKG}.ml.ctxbudget",
+                f"{_PKG}.operators.basketshape",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)
@@ -535,12 +549,16 @@ def _module_order(rnd: int) -> tuple[str, ...]:
         # joins it; r19 pair regenerated again. Twenty-fourth
         # amendment: the twenty-seventh batch's abcxyz module (4 keys)
         # joins it after regression; r19 pair regenerated once more.
+        # Thirtieth amendment: the thirty-third batch's revretention
+        # module (4 keys) joins it after abcxyz; r19 pair regenerated
+        # once more.
         if rnd >= 19:
             lead = (
                 f"{_PKG}.operators.cadence",
                 f"{_PKG}.operators.procurement",
                 f"{_PKG}.operators.regression",
                 f"{_PKG}.operators.abcxyz",
+                f"{_PKG}.operators.revretention",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

@@ -583,6 +583,14 @@ _BNLJ_ALLOWED = {
     # (segment, year) census
     "q_simpson_reversal_audit",
     "q_segment_trend_table",
+    # §2.BQ: 1-row year-span broadcasts onto the customer-year census
+    "q_revenue_retention_bridge",
+    "q_nrr_grr_by_year",
+    "q_expansion_accounts_topk",
+    "q_retention_mix_by_segment",
+    # §2.BR: 1-row order/revenue totals vs the ≤7-row size censuses
+    "q_order_size_census",
+    "q_size_value_mix",
 }
 _CARTESIAN_ALLOWED = {
     "q_als_recommend",  # inside MLlib recommendForAllUsers factor ranking
@@ -2244,3 +2252,38 @@ def test_simpson_census_side_reductions(q):
         joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
         assert joins == 0, (key, phys)
         assert "Window" not in phys, (key, phys)
+
+
+def test_revretention_customer_keyed_self_join(q):
+    """§2.BQ: the pair alignment is a CUSTOMER-KEYED join of the
+    pinned (customer, year) census against itself (both sides read the
+    checkpoint — Scan ExistingRDD, one fact scan total happened at pin
+    time); no cartesian; the year-span lookup is the adjudicated 1-row
+    broadcast; bq4's segment attach joins the customer dim keyed."""
+    for key in ("q_revenue_retention_bridge", "q_nrr_grr_by_year",
+                "q_expansion_accounts_topk", "q_retention_mix_by_segment"):
+        phys = physical_plan(q(key))
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert "Scan ExistingRDD" in phys, (key, phys)  # pinned census
+        assert phys.count("Scan parquet") <= 1, (key, phys)  # bq4's dim
+    phys3 = physical_plan(q("q_expansion_accounts_topk"))
+    assert "TakeOrderedAndProject" in phys3, phys3  # no global sort
+
+
+def test_basketshape_order_keyed_censuses(q):
+    """§2.BR: every census reduces a per-order relation keyed on the
+    order (one fact pass), then collapses to ≤7 rows; br2's brand
+    attach is an unhinted dim join (broadcast at test SF); br4 is a
+    pure map-side census — no join at all."""
+    for key in ("q_order_size_census", "q_basket_breadth_profile",
+                "q_size_value_mix", "q_line_position_profile"):
+        phys = physical_plan(q(key))
+        assert "CartesianProduct" not in phys, (key, phys)
+        assert phys.count("HashAggregate") >= 2, (key, phys)
+        assert "Window" not in phys, (key, phys)
+    phys2 = physical_plan(q("q_basket_breadth_profile"))
+    assert "BroadcastHashJoin" in phys2, phys2
+    phys4 = physical_plan(q("q_line_position_profile"))
+    joins = (phys4.count("SortMergeJoin") + phys4.count("ShuffledHashJoin")
+             + phys4.count("BroadcastHashJoin"))
+    assert joins == 0, phys4

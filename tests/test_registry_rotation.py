@@ -104,6 +104,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-fifth amendment: the twenty-eighth batch's ctxbudget
         # module joins the round-15 lead after survival
         f"{registry._PKG}.ml.ctxbudget",
+        # thirty-first amendment: the thirty-fourth batch's
+        # basketshape module joins the round-15 lead after ctxbudget
+        f"{registry._PKG}.operators.basketshape",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
@@ -158,6 +161,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-fourth amendment: the twenty-seventh batch's abcxyz
         # module joins the round-19 lead after regression
         f"{registry._PKG}.operators.abcxyz",
+        # thirtieth amendment: the thirty-third batch's revretention
+        # module joins the round-19 lead after abcxyz
+        f"{registry._PKG}.operators.revretention",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
