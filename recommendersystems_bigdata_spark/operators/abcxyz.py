@@ -25,7 +25,10 @@ demand, beside §2.E's ABC/Pareto and §2.AE's stock flows:
   means of the published adi_milli/cv2_milli columns (recomposable
   from bk2 by construction).
 
-Exactness: quantities are whole (cast via floor(q+0.5)); every ratio
+Exactness: quantities are whole (cast via floor(q+0.5)); bk3's
+revenue "micros" are e4 units from the per-row integer fold
+cents·(100 − disc_e2) — the suite-wide _REV_E4 device, never a
+rounded cross-row float sum; every ratio
 is a truncating division of non-negative integers (Spark ``div`` ≡
 DuckDB ``//`` there); every class boundary is an integer compare.
 ``M·ssq − s² ≥ 0`` by Cauchy–Schwarz over the M month slots, so no
@@ -51,6 +54,12 @@ from recommendersystems_bigdata_spark.catalog import load_table
 from recommendersystems_bigdata_spark.registry import query
 
 _QTY = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+# bk3's revenue in e4 units ("micros" column) is the exact per-row
+# integer fold cents·(100 − disc_e2) — the §2.BD/§2.BH _REV_E4 device —
+# never a rounded float aggregate (cross-row float sums are
+# partition-order-dependent at the .5 boundary).
+_PRICE_E2 = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_DISC_E2 = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
 
 # DuckDB: the shared (part, month) demand census, per-part moments and
 # the global month count.
@@ -214,7 +223,7 @@ def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CENSUS_SQL},
     rev AS (
       SELECT l_partkey,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+             CAST(sum(CAST({_PRICE_E2} AS HUGEINT) * (100 - {_DISC_E2}))
                   AS BIGINT) AS micros
       FROM lineitem GROUP BY l_partkey
     ),
@@ -264,15 +273,16 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ).alias("revenue")
+    m = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST({_PRICE_E2} AS {_DEC})"
+                f" * (100 - {_DISC_E2})) AS BIGINT)"
+            ).alias("micros")
+        )
+        .localCheckpoint()
     )
-    m = rev.select(
-        "l_partkey",
-        F.round(F.col("revenue") * 10000).cast("long").alias("micros"),
-    ).localCheckpoint()
     cum = global_running_sum(
         m, [F.col("micros").desc(), F.col("l_partkey").asc()], "micros",
         "cum_m",

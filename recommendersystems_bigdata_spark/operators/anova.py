@@ -32,14 +32,30 @@ arithmetic on cent sums:
     sst_scaled = N·Σx² − S²           (= N²·Var_total, exact)
     ssb_scaled = N·Σ_g q_g − S²       (truncated spelling)
     ssw_scaled = sst_scaled − ssb_scaled
-    eta2_bp    = (10⁴·ssb_scaled) div sst_scaled
-    f_milli    = (1000·ssb_scaled·(N−k)) div (ssw_scaled·(k−1))
+    vb         = ssb_scaled div N²    (published var_between_cents2)
+    vw         = ssw_scaled div N²    (published var_within_cents2)
+    eta2_bp    = (10⁴·ssb_scaled) div sst_scaled     (NULL if sst = 0)
+    f_milli    = (1000·vb·(N−k)) div (vw·(k−1))      (NULL if vw = 0
+                                                      or k ≤ 1)
 
 Exactness of the inputs: cents are exact; all divisions are truncating
 on non-negative integers (ssb_scaled ≥ −k·N only under truncation and
 is clamped at 0 via greatest — the ideal value is ≥ 0 by
-Cauchy–Schwarz). `tests/test_anova.py` fuzzes the spelling against
-exact-rational ANOVA and pins the error bound.
+Cauchy–Schwarz). Degenerate censuses (SSW = 0 or k = 1, where F is
+undefined) publish NULL in BOTH engines via an explicit CASE — never
+an engine-dependent division by zero (Spark-4 ANSI throws where
+DuckDB ``//`` yields NULL). `tests/test_anova.py` fuzzes the spelling
+against exact-rational ANOVA and pins the error bound.
+
+HEADROOM (decimal(38,0) / HUGEINT, both ~10³⁸): the largest
+intermediate is eta2_bp's numerator 10⁴·ssb_scaled ≤ 10⁴·N²·Var_cents²
+— with Var_cents² ≈ 2·10¹⁴ on this data that is ~4.5·10³⁶ at sf1000
+(N ≈ 1.5·10⁹ orders ≈ 100 TB), inside range with ~30× to spare. The F
+statistic is deliberately re-derived from the N²-reduced components
+vb/vw (variances in cents², scale-FREE), so its numerator
+1000·vb·(N−k) ≈ 10²⁶ at sf1000 — the naive full-scale spelling
+1000·ssb_scaled·(N−k) ≈ 10⁴⁴ would overflow both engines around sf10
+on adversarial (eta²→1) data. vb/vw themselves fit BIGINT at any SF.
 
 Spark-first shape, sized for 100 TB: one fact pass per grouping,
 partial-aggregated to the ≤|groups|-row census (the nation/segment
@@ -89,15 +105,21 @@ d AS (
 
 
 _DUCK_DECOMP_SELECT = """
-SELECT {label} AS grouping, k, n,
-       CAST((10000 * ssb_scaled) // sst_scaled AS BIGINT) AS eta2_bp,
-       CAST((1000 * ssb_scaled * (n - k))
-            // ((sst_scaled - ssb_scaled) * (k - 1)) AS BIGINT) AS f_milli,
-       CAST(ssb_scaled // (CAST(n AS HUGEINT) * n) AS BIGINT)
-         AS var_between_cents2,
-       CAST((sst_scaled - ssb_scaled) // (CAST(n AS HUGEINT) * n) AS BIGINT)
-         AS var_within_cents2
-FROM d
+SELECT grouping, k, n,
+       CAST(CASE WHEN sst_scaled = 0 THEN NULL
+            ELSE (10000 * ssb_scaled) // sst_scaled END AS BIGINT)
+         AS eta2_bp,
+       CAST(CASE WHEN vw = 0 OR k <= 1 THEN NULL
+            ELSE (1000 * vb * (n - k)) // (vw * (k - 1)) END AS BIGINT)
+         AS f_milli,
+       CAST(vb AS BIGINT) AS var_between_cents2,
+       CAST(vw AS BIGINT) AS var_within_cents2
+FROM (
+  SELECT {label} AS grouping, k, n, sst_scaled, ssb_scaled,
+         ssb_scaled // (CAST(n AS HUGEINT) * n) AS vb,
+         (sst_scaled - ssb_scaled) // (CAST(n AS HUGEINT) * n) AS vw
+  FROM d
+)
 """
 
 _SEG_JOIN = " o JOIN customer c ON o.o_custkey = c.c_custkey"
@@ -175,25 +197,43 @@ def _decomp(census: DataFrame, label: str) -> DataFrame:
             f"greatest(big_n * sum_q - big_s * big_s, CAST(0 AS {_DEC}))"
         ).alias("ssb_scaled"),
     )
-    return d.select(
+    # vb/vw (the PUBLISHED variance components, cents²) are scale-free
+    # — Spark's long-valued `div` is safe because a variance in cents²
+    # fits long at any SF — and F is re-derived FROM them so the F
+    # numerator stays ~10³·Var·N (≈10²⁶ at sf1000) instead of
+    # 10³·N²·Var·N (≈10⁴⁴, past decimal(38,0)/HUGEINT). The published
+    # F loses < 1/vw + 1/vb relative against the full-scale spelling —
+    # decades beneath milli precision (tests pin the 1-ulp bound).
+    # Degenerate censuses (SSW = 0, i.e. vw = 0, or k = 1) publish
+    # NULL in BOTH engines — never a division by zero (Spark-4 ANSI
+    # would throw where DuckDB // yields NULL).
+    v = d.select(
         F.lit(label).alias("grouping"),
         "k",
         "n",
+        "sst_scaled",
+        "ssb_scaled",
+        F.expr(f"ssb_scaled div (CAST(n AS {_DEC}) * n)").alias("vb"),
         F.expr(
-            f"CAST((CAST(10000 AS {_DEC}) * ssb_scaled) div sst_scaled"
-            f" AS BIGINT)"
+            f"(sst_scaled - ssb_scaled) div (CAST(n AS {_DEC}) * n)"
+        ).alias("vw"),
+    )
+    return v.select(
+        "grouping",
+        "k",
+        "n",
+        F.expr(
+            f"CAST(CASE WHEN sst_scaled = 0 THEN NULL"
+            f" ELSE (CAST(10000 AS {_DEC}) * ssb_scaled) div sst_scaled"
+            f" END AS BIGINT)"
         ).alias("eta2_bp"),
         F.expr(
-            f"CAST((CAST(1000 AS {_DEC}) * ssb_scaled * (n - k))"
-            f" div ((sst_scaled - ssb_scaled) * (k - 1)) AS BIGINT)"
+            f"CAST(CASE WHEN vw = 0 OR k <= 1 THEN NULL"
+            f" ELSE (CAST(1000 AS {_DEC}) * vb * (n - k))"
+            f" div (CAST(vw AS {_DEC}) * (k - 1)) END AS BIGINT)"
         ).alias("f_milli"),
-        F.expr(
-            f"CAST(ssb_scaled div (CAST(n AS {_DEC}) * n) AS BIGINT)"
-        ).alias("var_between_cents2"),
-        F.expr(
-            f"CAST((sst_scaled - ssb_scaled) div (CAST(n AS {_DEC}) * n)"
-            f" AS BIGINT)"
-        ).alias("var_within_cents2"),
+        F.col("vb").cast("long").alias("var_between_cents2"),
+        F.col("vw").cast("long").alias("var_within_cents2"),
     )
 
 

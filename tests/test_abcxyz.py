@@ -131,7 +131,8 @@ def test_matrix_recomposes_from_independent_ranking(spark, sf_dir):
         duckdb.sql(
             f"""
             SELECT l_partkey,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                            * (100 - floor(l_discount * 100 + 0.5)))
                         AS BIGINT)
             FROM '{sf_dir}/lineitem.parquet' GROUP BY 1
             """

@@ -65,13 +65,23 @@ def _spelled(census):
     sst = big_n * big_q - big_s * big_s
     ssb = max(big_n * sum_q - big_s * big_s, 0)
     ssw = sst - ssb
+    vb = ssb // (big_n * big_n)
+    vw = ssw // (big_n * big_n)
+    # F is published from the N²-reduced components (headroom — see the
+    # module doc) and is NULL on degenerate censuses (vw = 0 / k = 1),
+    # matching both engines' CASE guard.
+    f_milli = (
+        (1000 * vb * (big_n - k)) // (vw * (k - 1))
+        if vw > 0 and k > 1
+        else None
+    )
     return {
         "k": k,
         "n": big_n,
-        "eta2_bp": (10_000 * ssb) // sst,
-        "f_milli": (1000 * ssb * (big_n - k)) // (ssw * (k - 1)),
-        "var_between_cents2": ssb // (big_n * big_n),
-        "var_within_cents2": ssw // (big_n * big_n),
+        "eta2_bp": (10_000 * ssb) // sst if sst > 0 else None,
+        "f_milli": f_milli,
+        "var_between_cents2": vb,
+        "var_within_cents2": vw,
     }
 
 
@@ -116,18 +126,15 @@ def test_decomposition_spelling_and_error_bound(spark, sf_dir):
     (row,) = registry.QUERIES["q_anova_decomposition"](
         spark, sf_dir
     ).collect()
+    # the want.items() loop above already pins var_between_cents2 /
+    # var_within_cents2 to the exact floors ssb//N² and (sst−ssb)//N².
     for col, val in want.items():
         assert row[col] == val, col
     # the published spelling sits within 1 unit of the exact floor
     eta2, f = _exact(census)
     assert abs(row["eta2_bp"] - math.floor(10_000 * eta2)) <= 1
+    assert f is not None and row["f_milli"] is not None
     assert abs(row["f_milli"] - math.floor(1000 * f)) <= 1
-    # scaled SS identity as published
-    big_n = want["n"]
-    assert (
-        row["var_between_cents2"] + row["var_within_cents2"]
-        <= (10**18) * 10  # sanity: bounded
-    )
 
 
 @settings(max_examples=300, deadline=None)
