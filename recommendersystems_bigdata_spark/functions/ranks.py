@@ -155,6 +155,67 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame, order: list, value_col: str, name: str = "runmax"
+) -> DataFrame:
+    """Exact ``MAX(value) OVER (ORDER BY *order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — the EXCLUSIVE prefix maximum — without
+    a single-partition exchange.
+
+    ``value_col`` must be integral (long). max is associative and
+    idempotent, so the partition-offset decomposition is exact for any
+    range split. ``name`` is NULL on the global first row (no preceding
+    rows), mirroring the window spelling — callers treat NULL as "nothing
+    dominates yet" (the §2.BS skyline device). Same two-pass shape as
+    :func:`global_row_number`: per-partition exclusive cummax via
+    ``mapInPandas``, then per-partition maxima broadcast as prefix
+    offsets (``greatest`` skips NULLs, so the first partition's rows see
+    only their local prefix)."""
+    lmax = "_gr_lmax"
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(_PID, LongType(), False), StructField(lmax, LongType(), True)]
+    )
+
+    def add_local_cummax(batches):
+        from pyspark import TaskContext
+
+        import numpy as np
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        running = None  # max over all prior rows in this partition
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[_PID] = pid
+            a = pdf[value_col].to_numpy()
+            excl = np.empty(len(a), dtype=object)
+            if len(a):
+                incl = np.maximum.accumulate(a)
+                excl[0] = running
+                if len(a) > 1:
+                    prev = incl[:-1]
+                    if running is not None:
+                        prev = np.maximum(prev, running)
+                    excl[1:] = [int(x) for x in prev]
+                running = int(incl[-1]) if running is None else max(
+                    running, int(incl[-1])
+                )
+            pdf[lmax] = pd.array(list(excl), dtype="Int64")
+            yield pdf
+
+    ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
+    local = ranged.mapInPandas(add_local_cummax, schema=out_schema).localCheckpoint()
+    totals = local.groupBy(_PID).agg(F.max(value_col).alias(_TOT))
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(_PID, F.max(_TOT).over(off_w).alias(_OFF))
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(name, F.greatest(F.col(_OFF), F.col(lmax)).cast("long"))
+        .drop(_PID, lmax, _OFF)
+    )
+
+
 def global_ntile(df: DataFrame, order: list, k: int, name: str = "bucket") -> DataFrame:
     """Exact ``NTILE(k) OVER (ORDER BY *order)`` (ANSI bucket sizing)
     from the distributed global row number — no single-partition pass.

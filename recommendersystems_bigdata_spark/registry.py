@@ -288,6 +288,14 @@ _TAIL2 = (
     # amendment, see below); the r15 presample pair is regenerated
     # alongside. All other committed windows are unaffected.
     f"{_PKG}.operators.basketshape",
+    # Round-10 first batch: skyline / Pareto-dominance (§2.BS) and
+    # robust nonparametric trend (§2.BT). Appended last so no committed
+    # window moves; skyline joins the round-15 lead after basketshape
+    # (thirty-second amendment) and trend the round-16 lead after
+    # botscreen (thirty-third amendment); the r15/r16 presample pairs
+    # are regenerated alongside.
+    f"{_PKG}.operators.skyline",
+    f"{_PKG}.operators.trend",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -438,6 +446,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.survival",
                 f"{_PKG}.ml.ctxbudget",
                 f"{_PKG}.operators.basketshape",
+                # thirty-second amendment: the round-10 first batch's
+                # skyline module joins the round-15 lead after
+                # basketshape; r15 pair regenerated once more.
+                f"{_PKG}.operators.skyline",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)
@@ -482,6 +494,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.sketchops",
                 f"{_PKG}.operators.hotspot",
                 f"{_PKG}.operators.botscreen",
+                # thirty-third amendment: the round-10 first batch's
+                # trend module joins the round-16 lead after botscreen;
+                # r16 pair regenerated once more.
+                f"{_PKG}.operators.trend",
             )
             rest = _module_order(11)
             return lead + tuple(m for m in rest if m not in lead)

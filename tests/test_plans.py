@@ -391,6 +391,39 @@ def test_global_rankings_avoid_single_partition_data_pass(q):
         assert "ntile(" not in plan, (key, plan)
 
 
+def test_skyline_sweep_is_distributed(q):
+    """§2.BS: the prefix-max sweep must use the ranks.py two-pass device —
+    the census data pass stays range-partitioned and the only
+    SinglePartition stage is the bounded per-partition offsets frame
+    (one per peel for bs3); the offsets join back by broadcast. bs1's
+    top-level plan additionally must not fall back to a quadratic join."""
+    plan = physical_plan(q("q_skyline_price_size"))
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets rejoin
+    layers = physical_plan(q("q_skyline_layers"))
+    assert layers.count("SinglePartition") <= 3, layers
+    assert "BroadcastNestedLoopJoin" not in layers, layers
+
+
+def test_skyline_dominance_counts_windows_are_partitioned(q):
+    """§2.BS bs2: the four grid cumulations must be PARTITIONED windows
+    (by size / by price) — never a global single-partition window over
+    the grid."""
+    plan = physical_plan(q("q_skyline_dominance_counts"))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_seasonal_mk_pairs_join_on_month(q):
+    """§2.BT bt4: the seasonal pair join must be keyed on the calendar
+    month (an equi-join the planner can hash/merge), not a nested loop
+    over all month pairs."""
+    plan = physical_plan(q("q_seasonal_mann_kendall"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_topk_rank_windows_run_after_limit(q):
     """The global top-k queries must lower their sort+limit to
     TakeOrderedAndProject and feed the rank window FROM the limited frame
@@ -498,6 +531,16 @@ _BNLJ_ALLOWED = {
     # tier census — O(3·1)
     "q_single_source_exposure",
     "q_acctbal_risk_tiers",
+    # §2.BS bs2/bs4: bounded-by-construction census fan-outs — bs2
+    # crosses the ≤|dollar levels| price list with the ≤50 size list to
+    # densify the grid; bs4's anti-join is the ~150-cell (brand, type)
+    # census against itself (22.5k pairs at any SF)
+    "q_skyline_dominance_counts",
+    "q_skyline_brand_type",
+    # §2.BT bt2/bt3: the pair join is the ≤|months|-row census against
+    # itself (≤ ~3.4k pairs forever) plus 1-row total broadcasts
+    "q_theil_sen_trend",
+    "q_mann_kendall_trend",
     # §2.AO ao1: 1-row corpus token-count broadcast vs the support-
     # filtered bigram head
     "q_colloc_bigram_lift",

@@ -107,6 +107,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-first amendment: the thirty-fourth batch's
         # basketshape module joins the round-15 lead after ctxbudget
         f"{registry._PKG}.operators.basketshape",
+        # thirty-second amendment: the round-10 first batch's skyline
+        # module joins the round-15 lead after basketshape
+        f"{registry._PKG}.operators.skyline",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
@@ -124,6 +127,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-sixth amendment: the twenty-ninth batch's botscreen
         # module joins the round-16 lead after hotspot
         f"{registry._PKG}.operators.botscreen",
+        # thirty-third amendment: the round-10 first batch's trend
+        # module joins the round-16 lead after botscreen
+        f"{registry._PKG}.operators.trend",
     )
     # fifteenth amendment: the eighteenth batch's priority_sla module
     # joins the round-17 lead after inequality
