@@ -296,6 +296,14 @@ _TAIL2 = (
     # are regenerated alongside.
     f"{_PKG}.operators.skyline",
     f"{_PKG}.operators.trend",
+    # Round-10 second batch: peer benchmarking (§2.BU) and
+    # share-of-parent rollup trees (§2.BV). peerbench joins the
+    # round-17 lead after vecaudit (thirty-fourth amendment) and
+    # sharetree the round-18 lead after simpson (thirty-fifth
+    # amendment); the r17/r18 presample pairs are regenerated
+    # alongside.
+    f"{_PKG}.operators.peerbench",
+    f"{_PKG}.operators.sharetree",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -525,6 +533,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.fulfillment",
                 f"{_PKG}.operators.periodcmp",
                 f"{_PKG}.ml.vecaudit",
+                # thirty-fourth amendment: the round-10 second batch's
+                # peerbench module joins the round-17 lead after
+                # vecaudit; r17 pair regenerated once more.
+                f"{_PKG}.operators.peerbench",
             )
             rest = _module_order(12)
             return lead + tuple(m for m in rest if m not in lead)
@@ -550,6 +562,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.eventstudy",
                 f"{_PKG}.operators.benford",
                 f"{_PKG}.operators.simpson",
+                # thirty-fifth amendment: the round-10 second batch's
+                # sharetree module joins the round-18 lead after
+                # simpson; r18 pair regenerated once more.
+                f"{_PKG}.operators.sharetree",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)

@@ -424,6 +424,30 @@ def test_seasonal_mk_pairs_join_on_month(q):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_peerbench_windows_are_nation_partitioned(q):
+    """§2.BU: every peer ranking must be a PARTITIONED window over the
+    supplier census — no single-partition exchange, no nested loop;
+    the nation dim and per-nation reductions join by broadcast."""
+    for key in (
+        "q_peer_rank_percentile",
+        "q_peer_median_gap",
+        "q_peer_quartile_bands",
+        "q_peer_leader_margin",
+    ):
+        plan = physical_plan(q(key))
+        assert "SinglePartition" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastHashJoin" in plan, (key, plan)
+
+
+def test_tree_leaf_paths_lowers_to_topk(q):
+    """§2.BV bv4: the top-10 leaf paths must lower to
+    TakeOrderedAndProject, not a full census sort."""
+    plan = physical_plan(q("q_tree_leaf_paths"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_topk_rank_windows_run_after_limit(q):
     """The global top-k queries must lower their sort+limit to
     TakeOrderedAndProject and feed the rank window FROM the limited frame
@@ -541,6 +565,12 @@ _BNLJ_ALLOWED = {
     # itself (≤ ~3.4k pairs forever) plus 1-row total broadcasts
     "q_theil_sen_trend",
     "q_mann_kendall_trend",
+    # §2.BV: 1-row grand-total broadcasts against the ≤125-cell leaf
+    # census and its ≤25/≤5-row level rollups
+    "q_share_tree",
+    "q_tree_dominant_child",
+    "q_tree_level_profile",
+    "q_tree_leaf_paths",
     # §2.AO ao1: 1-row corpus token-count broadcast vs the support-
     # filtered bigram head
     "q_colloc_bigram_lift",

@@ -144,6 +144,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-seventh amendment: the thirtieth batch's vecaudit
         # module joins the round-17 lead after periodcmp
         f"{registry._PKG}.ml.vecaudit",
+        # thirty-fourth amendment: the round-10 second batch's
+        # peerbench module joins the round-17 lead after vecaudit
+        f"{registry._PKG}.operators.peerbench",
     )
     # thirteenth amendment: the sixteenth batch prepends tradeflow to
     # the round-18 lead and cadence to the round-19 lead; the
@@ -159,6 +162,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # twenty-ninth amendment: the thirty-second batch's simpson
         # module joins the round-18 lead after benford
         f"{registry._PKG}.operators.simpson",
+        # thirty-fifth amendment: the round-10 second batch's
+        # sharetree module joins the round-18 lead after simpson
+        f"{registry._PKG}.operators.sharetree",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
