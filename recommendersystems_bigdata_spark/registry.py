@@ -304,6 +304,10 @@ _TAIL2 = (
     # alongside.
     f"{_PKG}.operators.peerbench",
     f"{_PKG}.operators.sharetree",
+    # Round-10 third batch: table fingerprinting / replication audits
+    # (§2.BW). Joins the round-19 lead after revretention (thirty-sixth
+    # amendment); the r19 presample pair is regenerated alongside.
+    f"{_PKG}.operators.fingerprint",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -591,6 +595,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 f"{_PKG}.operators.regression",
                 f"{_PKG}.operators.abcxyz",
                 f"{_PKG}.operators.revretention",
+                # thirty-sixth amendment: the round-10 third batch's
+                # fingerprint module joins the round-19 lead after
+                # revretention; r19 pair regenerated once more.
+                f"{_PKG}.operators.fingerprint",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

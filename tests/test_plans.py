@@ -441,6 +441,26 @@ def test_peerbench_windows_are_nation_partitioned(q):
         assert "BroadcastHashJoin" in plan, (key, plan)
 
 
+def test_fingerprint_is_one_pass_partial_agg(q):
+    """§2.BW: every fingerprint must be a partial→final aggregate (the
+    mod-M checksum combines map-side) with no nested loop and no
+    single-partition data pass; bw2's fact⋈fact leg must be a shuffle
+    join on the order key, never a broadcast of a fact."""
+    for key in (
+        "q_fingerprint_orders",
+        "q_fingerprint_by_month",
+    ):
+        plan = physical_plan(q(key))
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+        assert "SinglePartition" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+    rec = physical_plan(q("q_fingerprint_reconcile"))
+    assert "SortMergeJoin" in rec or "ShuffledHashJoin" in rec, rec
+    assert "BroadcastNestedLoopJoin" not in rec, rec
+    tot = physical_plan(q("q_fingerprint_total"))
+    assert tot.count("SinglePartition") <= 2, tot  # the two 1-row finals
+
+
 def test_tree_leaf_paths_lowers_to_topk(q):
     """§2.BV bv4: the top-10 leaf paths must lower to
     TakeOrderedAndProject, not a full census sort."""

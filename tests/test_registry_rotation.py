@@ -176,6 +176,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirtieth amendment: the thirty-third batch's revretention
         # module joins the round-19 lead after abcxyz
         f"{registry._PKG}.operators.revretention",
+        # thirty-sixth amendment: the round-10 third batch's
+        # fingerprint module joins the round-19 lead after revretention
+        f"{registry._PKG}.operators.fingerprint",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
