@@ -55,7 +55,11 @@ from recommendersystems_bigdata_spark.session import get_spark  # noqa: E402
 # query exercises. The round-9 closing addition is q_emb_norm_audit:
 # the JVM higher-order-function fold over 64-wide float arrays
 # (§2.BN's codegen'd lambda loop), the array-HOF execution profile no
-# other headline query touches.
+# other headline query touches. Round 10 adds q_fingerprint_by_month:
+# the full-fact single-pass checksum manifest (§2.BW) — per-row
+# decimal(38,0) multiply-mod arithmetic inside a map-side-combined
+# hash aggregate, the wide-decimal scan profile (replication audits
+# run at full table scale, so its wall time is a first-class budget).
 HEADLINE = (
     "q_agg_pricing_summary",
     "q_join_star_multiway",
@@ -72,6 +76,7 @@ HEADLINE = (
     "q_inv_fifo_allocation",
     "q_concentration_curve",
     "q_emb_norm_audit",
+    "q_fingerprint_by_month",
 )
 
 N_SERIES = 3
