@@ -138,6 +138,10 @@ def main() -> None:
     legacy_12q = round(sum(medians[n] for n in HEADLINE[:12]), 3)
     legacy_13q = round(sum(medians[n] for n in HEADLINE[:13]), 3)
     legacy_14q = round(sum(medians[n] for n in HEADLINE[:14]), 3)
+    # round 10 added the 16th headline (q_fingerprint_by_month): compare
+    # r9_comparable_15q_sec against BENCH_r09.json's "value"; "value"
+    # itself is comparable from round 10 on.
+    legacy_15q = round(sum(medians[n] for n in HEADLINE[:15]), 3)
     print(
         json.dumps(
             {
@@ -153,6 +157,7 @@ def main() -> None:
                 "r9_comparable_12q_sec": legacy_12q,
                 "r9_comparable_13q_sec": legacy_13q,
                 "r9_comparable_14q_sec": legacy_14q,
+                "r9_comparable_15q_sec": legacy_15q,
             }
         )
     )

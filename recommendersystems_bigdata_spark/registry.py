@@ -308,6 +308,14 @@ _TAIL2 = (
     # (§2.BW). Joins the round-19 lead after revretention (thirty-sixth
     # amendment); the r19 presample pair is regenerated alongside.
     f"{_PKG}.operators.fingerprint",
+    # Round-10 fourth batch: dependence audits between customer
+    # metrics (§2.BX). Joins the round-15 lead after skyline
+    # (thirty-seventh amendment — the round-20 lead is full at 48 keys,
+    # so its window cannot absorb another module); the r15 presample
+    # pair is regenerated alongside. The r20 window is unaffected: its
+    # 2-key fill comes from the round-15 lead's HEAD (standardize),
+    # which this append does not move.
+    f"{_PKG}.operators.dependence",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -462,6 +470,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # skyline module joins the round-15 lead after
                 # basketshape; r15 pair regenerated once more.
                 f"{_PKG}.operators.skyline",
+                # thirty-seventh amendment: the round-10 fourth batch's
+                # dependence module joins the round-15 lead after
+                # skyline; r15 pair regenerated once more.
+                f"{_PKG}.operators.dependence",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)

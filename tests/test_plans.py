@@ -591,6 +591,11 @@ _BNLJ_ALLOWED = {
     "q_tree_dominant_child",
     "q_tree_level_profile",
     "q_tree_leaf_paths",
+    # §2.BX: the 10×10 densify cross join (two ≤10-row distinct decile
+    # lists) and 1-row grand-total broadcasts over the 100-cell grid
+    "q_dependence_grid",
+    "q_dependence_chi2",
+    "q_dependence_lift_map",
     # §2.AO ao1: 1-row corpus token-count broadcast vs the support-
     # filtered bigram head
     "q_colloc_bigram_lift",

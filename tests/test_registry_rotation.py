@@ -110,6 +110,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-second amendment: the round-10 first batch's skyline
         # module joins the round-15 lead after basketshape
         f"{registry._PKG}.operators.skyline",
+        # thirty-seventh amendment: the round-10 fourth batch's
+        # dependence module joins the round-15 lead after skyline
+        f"{registry._PKG}.operators.dependence",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
