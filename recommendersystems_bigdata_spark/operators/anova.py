@@ -35,8 +35,9 @@ arithmetic on cent sums:
     vb         = ssb_scaled div N²    (published var_between_cents2)
     vw         = ssw_scaled div N²    (published var_within_cents2)
     eta2_bp    = (10⁴·ssb_scaled) div sst_scaled     (NULL if sst = 0)
-    f_milli    = (1000·vb·(N−k)) div (vw·(k−1))      (NULL if vw = 0
-                                                      or k ≤ 1)
+    f_milli    = (1000·vb·(N−k)) div (vw·(k−1))      (NULL if vw = 0,
+                                                      k ≤ 1, or the
+                                                      quotient > 2⁶³−1)
 
 Exactness of the inputs: cents are exact; all divisions are truncating
 on non-negative integers (ssb_scaled ≥ −k·N only under truncation and
@@ -56,6 +57,11 @@ vb/vw (variances in cents², scale-FREE), so its numerator
 1000·vb·(N−k) ≈ 10²⁶ at sf1000 — the naive full-scale spelling
 1000·ssb_scaled·(N−k) ≈ 10⁴⁴ would overflow both engines around sf10
 on adversarial (eta²→1) data. vb/vw themselves fit BIGINT at any SF.
+The PUBLISHED quotient must also fit BIGINT: it is computed as an
+exact decimal (never a long-valued `div` / HUGEINT→BIGINT cast) and
+published NULL past 2⁶³−1 — the near-degenerate regime (vw = 1 cent²
+under a huge vb·(N−k)) where an F in milli units stops being a
+meaningful number anyway.
 
 Spark-first shape, sized for 100 TB: one fact pass per grouping,
 partial-aggregated to the ≤|groups|-row census (the nation/segment
@@ -109,16 +115,21 @@ SELECT grouping, k, n,
        CAST(CASE WHEN sst_scaled = 0 THEN NULL
             ELSE (10000 * ssb_scaled) // sst_scaled END AS BIGINT)
          AS eta2_bp,
-       CAST(CASE WHEN vw = 0 OR k <= 1 THEN NULL
-            ELSE (1000 * vb * (n - k)) // (vw * (k - 1)) END AS BIGINT)
-         AS f_milli,
+       CAST(CASE WHEN fq IS NULL OR fq > 9223372036854775807 THEN NULL
+            ELSE fq END AS BIGINT) AS f_milli,
        CAST(vb AS BIGINT) AS var_between_cents2,
        CAST(vw AS BIGINT) AS var_within_cents2
 FROM (
-  SELECT {label} AS grouping, k, n, sst_scaled, ssb_scaled,
-         ssb_scaled // (CAST(n AS HUGEINT) * n) AS vb,
-         (sst_scaled - ssb_scaled) // (CAST(n AS HUGEINT) * n) AS vw
-  FROM d
+  SELECT grouping, k, n, sst_scaled, ssb_scaled, vb, vw,
+         (1000 * vb * (n - k))
+           // (CASE WHEN vw = 0 OR k <= 1 THEN NULL
+               ELSE vw * (k - 1) END) AS fq
+  FROM (
+    SELECT {label} AS grouping, k, n, sst_scaled, ssb_scaled,
+           ssb_scaled // (CAST(n AS HUGEINT) * n) AS vb,
+           (sst_scaled - ssb_scaled) // (CAST(n AS HUGEINT) * n) AS vw
+    FROM d
+  )
 )
 """
 
@@ -206,7 +217,14 @@ def _decomp(census: DataFrame, label: str) -> DataFrame:
     # decades beneath milli precision (tests pin the 1-ulp bound).
     # Degenerate censuses (SSW = 0, i.e. vw = 0, or k = 1) publish
     # NULL in BOTH engines — never a division by zero (Spark-4 ANSI
-    # would throw where DuckDB // yields NULL).
+    # would throw where DuckDB // yields NULL). The quotient itself is
+    # computed in DECIMAL (the `(x - x % y) / y` exact truncating
+    # spelling — an integer quotient ≤ 1.4·10³¹ at sf1000 is exactly
+    # representable in decimal(38,6)) and published only when it fits
+    # BIGINT: a NEAR-degenerate census (vw as small as 1 cent² under a
+    # huge vb·(n−k)) would otherwise overflow the long-valued `div` in
+    # Spark and the HUGEINT→BIGINT cast in DuckDB — both engines now
+    # publish NULL past 2⁶³−1 instead of throwing.
     v = d.select(
         F.lit(label).alias("grouping"),
         "k",
@@ -218,7 +236,19 @@ def _decomp(census: DataFrame, label: str) -> DataFrame:
             f"(sst_scaled - ssb_scaled) div (CAST(n AS {_DEC}) * n)"
         ).alias("vw"),
     )
-    return v.select(
+    v2 = v.select(
+        "*",
+        F.expr(f"CAST(1000 AS {_DEC}) * vb * (n - k)").alias("f_num"),
+        F.expr(
+            f"CASE WHEN vw = 0 OR k <= 1 THEN CAST(NULL AS {_DEC})"
+            f" ELSE CAST(vw AS {_DEC}) * (k - 1) END"
+        ).alias("f_den"),
+    ).select(
+        "*",
+        # exact truncating quotient in decimal — NULL-den on degenerate
+        F.expr("(f_num - f_num % f_den) / f_den").alias("fq"),
+    )
+    return v2.select(
         "grouping",
         "k",
         "n",
@@ -228,9 +258,9 @@ def _decomp(census: DataFrame, label: str) -> DataFrame:
             f" END AS BIGINT)"
         ).alias("eta2_bp"),
         F.expr(
-            f"CAST(CASE WHEN vw = 0 OR k <= 1 THEN NULL"
-            f" ELSE (CAST(1000 AS {_DEC}) * vb * (n - k))"
-            f" div (CAST(vw AS {_DEC}) * (k - 1)) END AS BIGINT)"
+            "CAST(CASE WHEN fq IS NULL"
+            " OR fq > CAST(9223372036854775807 AS decimal(38,6))"
+            " THEN NULL ELSE fq END AS BIGINT)"
         ).alias("f_milli"),
         F.col("vb").cast("long").alias("var_between_cents2"),
         F.col("vw").cast("long").alias("var_within_cents2"),

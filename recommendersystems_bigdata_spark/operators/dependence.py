@@ -28,9 +28,14 @@ column totals c_j and observed o_ij:
     chi2_milli    = Σ_ij contrib_milli                (truncated sum:
                     each of ≤100 cells loses < 1 milli, so the
                     published statistic sits within 0.1 of 1000·χ²)
+    dof           = (rows−1)·(cols−1) of the REALIZED dense grid
+                    (= 81 whenever N ≥ 10 customers — every corpus SF)
     verdict       = chi2_milli > 103 010  ⇒ 'dependent'
-                    (χ²₀.₉₅ at 81 dof = 103.010; identical truncated
-                    spelling both engines ⇒ identical verdict)
+                    (χ²₀.₉₅ at 81 dof = 103.010; published ONLY when
+                    the realized dof is the nominal 81 — NULL
+                    otherwise, never a miscalibrated threshold;
+                    identical truncated spelling both engines ⇒
+                    identical verdict)
     lift_bp       = (10⁴·N·o_ij) div (r_i·c_j)
 
 Headroom: N ≤ 1.5e8 customers at sf1000; N·r·c ≤ N³/100 ≈ 3e22 and
@@ -191,7 +196,7 @@ def q_dependence_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_GRID_DUCK},
     cells AS (
-      SELECT n,
+      SELECT n, spend_d, orders_d,
              (n * obs - row_tot * col_tot) AS dev,
              (1000 * (n * obs - row_tot * col_tot)
                    * (n * obs - row_tot * col_tot))
@@ -201,8 +206,11 @@ def q_dependence_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
            CAST(count(*) AS BIGINT) AS cells,
            CAST(sum(contrib_milli) AS BIGINT) AS chi2_milli,
-           CAST(81 AS BIGINT) AS dof,
-           CASE WHEN sum(contrib_milli) > 103010 THEN 'dependent'
+           CAST((count(DISTINCT spend_d) - 1)
+                * (count(DISTINCT orders_d) - 1) AS BIGINT) AS dof,
+           CASE WHEN (count(DISTINCT spend_d) - 1)
+                     * (count(DISTINCT orders_d) - 1) <> 81 THEN NULL
+                WHEN sum(contrib_milli) > 103010 THEN 'dependent'
                 ELSE 'independent' END AS verdict
     FROM cells
     """,
@@ -214,25 +222,36 @@ def q_dependence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     against χ²₀.₉₅(81) = 103.010 as the integer compare
     ``chi2_milli > 103010``. The grid is DENSE — empty cells carry
     obs = 0 and contribute their full expected-count term — so the
-    statistic is the complete Pearson χ² of the 10×10 design and dof
-    is its nominal 81.
+    statistic is the complete Pearson χ² of the realized design. dof
+    is DERIVED from that realized grid, (rows−1)·(cols−1) — 81
+    whenever N ≥ 10 customers gives ntile its full 10 deciles per
+    axis (every corpus SF), fewer only on degenerate tiny inputs —
+    and the verdict is published only at the nominal 81 (its 103.010
+    threshold IS the 81-dof critical value; any other realized dof
+    publishes a NULL verdict rather than a miscalibrated one).
 
     Scale: a 1-row reduction of the grid."""
     cells = _margins(spark, sf_dir).select(
         "n",
+        "spend_d",
+        "orders_d",
         F.expr(
             f"CAST((CAST(1000 AS {_DEC}) * (n * obs - row_tot * col_tot)"
             f" * (n * obs - row_tot * col_tot))"
             f" div (n * row_tot * col_tot) AS BIGINT)"
         ).alias("contrib_milli"),
     )
+    dof = (
+        "(count(DISTINCT spend_d) - 1) * (count(DISTINCT orders_d) - 1)"
+    )
     return cells.agg(
         F.expr("CAST(max(n) AS BIGINT)").alias("n_customers"),
         F.count(F.lit(1)).cast("long").alias("cells"),
         F.sum("contrib_milli").cast("long").alias("chi2_milli"),
-        F.lit(81).cast("long").alias("dof"),
+        F.expr(f"CAST({dof} AS BIGINT)").alias("dof"),
         F.expr(
-            "CASE WHEN sum(contrib_milli) > 103010 THEN 'dependent'"
+            f"CASE WHEN {dof} <> 81 THEN NULL"
+            " WHEN sum(contrib_milli) > 103010 THEN 'dependent'"
             " ELSE 'independent' END"
         ).alias("verdict"),
     )

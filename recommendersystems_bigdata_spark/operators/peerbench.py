@@ -29,12 +29,15 @@ non-negative cents (revenue > 0 for every supplier that appears).
 
 Spark-first shape, sized for 100 TB: ONE fact pass partial-aggregates
 lineitem to the per-supplier revenue census (|suppliers| rows —
-dim-sized, ~10M at sf1000, never fact-sized); the nation attach is a
-broadcast of the 25-row dim; every ranking is a window PARTITIONED BY
-NATION over that census (≤|suppliers|/|nations| rows per task — no
-global sort, no single-partition exchange); the per-nation quartile /
-median / leader relations are ≤|nations|-row reductions that rejoin
-by broadcast.
+dim-sized, ~10M at sf1000, never fact-sized); the 25-row nation dim
+broadcasts onto supplier EXPLICITLY, but the resulting supplier-level
+(suppkey, nation) dim attaches to the revenue census UNHINTED — AQE
+broadcasts it while it fits and shuffle-joins beyond (a forced
+broadcast of a ~10M-row dim is the anova._census 36×-measured trap);
+every ranking is a window PARTITIONED BY NATION over that census
+(≤|suppliers|/|nations| rows per task — no global sort, no
+single-partition exchange); the per-nation quartile / median / leader
+relations are ≤|nations|-row reductions that rejoin by broadcast.
 """
 
 from __future__ import annotations
@@ -86,8 +89,13 @@ def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.select("n_nationkey", "n_name")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "n_name")
+    # The supplier-level dim attach is deliberately UNHINTED (same
+    # adjudication as anova._census): at test SF AQE broadcasts the
+    # 2-column dim, while at sf1000 a ~10M-row supplier dim must
+    # shuffle-join — a forced broadcast is a hint AQE cannot override.
+    # Only the 25-row nation dim above carries an explicit hint.
     census = srev.join(
-        F.broadcast(dim), srev.l_suppkey == F.col("s_suppkey")
+        dim, srev.l_suppkey == F.col("s_suppkey")
     ).select("n_name", "s_suppkey", "rev_cents")
     w = Window.partitionBy("n_name").orderBy("rev_cents", "s_suppkey")
     wn = Window.partitionBy("n_name")

@@ -100,6 +100,25 @@ def test_chi2_spelling_and_bound(spark, sf_dir):
     )
 
 
+def test_tiny_census_derives_dof_and_nulls_verdict(spark, tmp_path):
+    """N < 10 customers: ntile realizes fewer than 10 deciles per
+    axis, so dof must be the REALIZED (rows−1)·(cols−1) — not the
+    nominal 81 — and the 81-dof-calibrated verdict publishes NULL
+    (the advisor's degenerate-input finding)."""
+    rows = [(c, 1 + c, float(100 * (1 + c)) ) for c in range(4)]
+    spark.createDataFrame(
+        [(c, p) for c, _, p in rows] * 1,
+        schema="o_custkey bigint, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    (row,) = registry.QUERIES["q_dependence_chi2"](
+        spark, str(tmp_path)
+    ).collect()
+    # 4 customers → 4 realized deciles per axis → dof = 3·3 = 9
+    assert row["n_customers"] == 4
+    assert row["dof"] == 9
+    assert row["verdict"] is None
+
+
 def test_row_profiles_recompose(spark, sf_dir):
     grid, _ = _grid_py(sf_dir)
     rt = {i: sum(grid[(i, j)] for j in range(1, 11)) for i in range(1, 11)}
