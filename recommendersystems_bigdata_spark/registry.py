@@ -316,6 +316,28 @@ _TAIL2 = (
     # 2-key fill comes from the round-15 lead's HEAD (standardize),
     # which this append does not move.
     f"{_PKG}.operators.dependence",
+    # Round-11 first batch: probability-calibration audits (§2.BY).
+    # Joins the round-15 lead after dependence (thirty-eighth
+    # amendment); the r15 presample pair is regenerated alongside. The
+    # r20 window is again unaffected (its 2-key fill still comes from
+    # standardize at the round-15 order's head).
+    f"{_PKG}.operators.calibration",
+    # Round-11 second batch: demand-pooling / risk-pooling benefit
+    # (§2.BZ). Joins the round-16 lead after trend (thirty-ninth
+    # amendment); the r16 presample pair is regenerated alongside.
+    f"{_PKG}.operators.pooling",
+    # Round-11 third batch: lead–lag cross-correlation screens
+    # (§2.CA). Joins the round-17 lead after peerbench (fortieth
+    # amendment); the r17 presample pair is regenerated alongside.
+    f"{_PKG}.operators.leadlag",
+    # Round-11 fourth batch: shuffle-plan advisor (§2.CB). Joins the
+    # round-18 lead after sharetree (forty-first amendment); the r18
+    # presample pair is regenerated alongside.
+    f"{_PKG}.operators.shuffleplan",
+    # Round-11 fifth batch: intra-document repetition screens (§2.CC).
+    # Joins the round-19 lead after fingerprint (forty-second
+    # amendment); the r19 presample pair is regenerated alongside.
+    f"{_PKG}.ml.repetition",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -474,6 +496,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # dependence module joins the round-15 lead after
                 # skyline; r15 pair regenerated once more.
                 f"{_PKG}.operators.dependence",
+                # thirty-eighth amendment: the round-11 first batch's
+                # calibration module joins the round-15 lead after
+                # dependence; r15 pair regenerated once more.
+                f"{_PKG}.operators.calibration",
             )
             rest = _module_order(10)
             return lead + tuple(m for m in rest if m not in lead)
@@ -522,6 +548,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # trend module joins the round-16 lead after botscreen;
                 # r16 pair regenerated once more.
                 f"{_PKG}.operators.trend",
+                # thirty-ninth amendment: the round-11 second batch's
+                # pooling module joins the round-16 lead after trend;
+                # r16 pair regenerated once more.
+                f"{_PKG}.operators.pooling",
             )
             rest = _module_order(11)
             return lead + tuple(m for m in rest if m not in lead)
@@ -553,6 +583,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # peerbench module joins the round-17 lead after
                 # vecaudit; r17 pair regenerated once more.
                 f"{_PKG}.operators.peerbench",
+                # fortieth amendment: the round-11 third batch's
+                # leadlag module joins the round-17 lead after
+                # peerbench; r17 pair regenerated once more.
+                f"{_PKG}.operators.leadlag",
             )
             rest = _module_order(12)
             return lead + tuple(m for m in rest if m not in lead)
@@ -582,6 +616,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # sharetree module joins the round-18 lead after
                 # simpson; r18 pair regenerated once more.
                 f"{_PKG}.operators.sharetree",
+                # forty-first amendment: the round-11 fourth batch's
+                # shuffleplan module joins the round-18 lead after
+                # sharetree; r18 pair regenerated once more.
+                f"{_PKG}.operators.shuffleplan",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)
@@ -611,6 +649,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # fingerprint module joins the round-19 lead after
                 # revretention; r19 pair regenerated once more.
                 f"{_PKG}.operators.fingerprint",
+                # forty-second amendment: the round-11 fifth batch's
+                # repetition module joins the round-19 lead after
+                # fingerprint; r19 pair regenerated once more.
+                f"{_PKG}.ml.repetition",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

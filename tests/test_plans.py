@@ -441,6 +441,105 @@ def test_peerbench_windows_are_nation_partitioned(q):
         assert "BroadcastHashJoin" in plan, (key, plan)
 
 
+def test_calibration_census_side_decomposition(q):
+    """§2.BY: every calibration audit reduces the ONE checkpointed
+    (year, bin) census — partial→final fact aggregation, the 5×5 bin
+    join and model attach broadcast, no cartesian, no fact-sized
+    nested loop (the two 1-row total broadcasts are adjudicated in
+    _BNLJ_ALLOWED)."""
+    for key in (
+        "q_calib_reliability",
+        "q_calib_brier_decomp",
+        "q_calib_skill_score",
+        "q_calib_drift_by_year",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+        assert "SortMergeJoin" not in plan, (key, plan)
+        # the fact was scanned exactly once, at census-checkpoint time:
+        # the published query reads the ≤35-row materialization only
+        assert "Scan parquet" not in plan, (key, plan)
+
+
+def test_repetition_explode_pipeline_and_hof_scan(q):
+    """§2.CC: cc1/cc2 are the canonical explode → partial-agg
+    pipeline (Generate + ≥2 HashAggregate pairs, map-side combine on
+    (doc, gram)); cc3 must be a pure HOF projection — NO Generate, NO
+    join, nothing fact-shuffled before the output sort."""
+    for key in ("q_rep_bigram_census", "q_rep_trigram_coverage"):
+        plan = physical_plan(q(key))
+        assert "Generate" in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+    hof = physical_plan(q("q_rep_immediate_repeats"))
+    assert "Generate" not in hof, hof
+    assert "Join" not in hof, hof
+    screen = physical_plan(q("q_rep_screen_by_source"))
+    assert "CartesianProduct" not in screen, screen
+    assert "BroadcastNestedLoopJoin" not in screen, screen
+
+
+def test_shuffleplan_partial_agg_and_topk(q):
+    """§2.CB: every advisor census is a partial→final aggregate (the
+    per-key counts combine map-side); cb2's top-10 lowers to
+    TakeOrderedAndProject, never a global sort; no cartesian beyond
+    the adjudicated 1-row broadcasts."""
+    for key in (
+        "q_shuffle_key_imbalance",
+        "q_shuffle_salt_advisor",
+        "q_broadcast_advisor",
+        "q_shuffle_partition_histogram",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+    salt = physical_plan(q("q_shuffle_salt_advisor"))
+    assert "TakeOrderedAndProject" in salt, salt
+
+
+def test_leadlag_calendar_side_arithmetic(q):
+    """§2.CA: every screen reads the ONE checkpointed calendar census
+    (zero parquet scans downstream); the shifted lookups are
+    equi-joins on the lagged date (no cartesian beyond the 14-row lag
+    broadcast in _BNLJ_ALLOWED); only ca3's top-1 over 14 rows may
+    single-partition."""
+    for key in (
+        "q_leadlag_daily_series",
+        "q_leadlag_xcorr_table",
+        "q_leadlag_diff_xcorr",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "Scan parquet" not in plan, (key, plan)
+        assert "SinglePartition" not in plan or key == "q_leadlag_daily_series", (
+            key,
+            plan,
+        )
+    best = physical_plan(q("q_leadlag_best_lag"))
+    assert "CartesianProduct" not in best, best
+    assert "Scan parquet" not in best, best
+
+
+def test_pooling_census_side_statistics(q):
+    """§2.BZ: every pooling statistic reduces the ONE checkpointed
+    (brand, nation, month) census — zero parquet scans downstream, no
+    cartesian (the 1-row calendar broadcasts are adjudicated in
+    _BNLJ_ALLOWED), and bz4's pair enumeration is an equi-join on
+    brand, never a nested loop over series."""
+    for key in (
+        "q_pool_demand_census",
+        "q_pool_benefit_by_brand",
+        "q_pool_cv2_ladder",
+        "q_pool_complementary_pairs",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "Scan parquet" not in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+
+
 def test_fingerprint_is_one_pass_partial_agg(q):
     """§2.BW: every fingerprint must be a partial→final aggregate (the
     mod-M checksum combines map-side) with no nested loop and no
@@ -518,6 +617,18 @@ _BNLJ_ALLOWED = {
     "q_tcloseness_audit",  # 1-row corpus-total broadcast vs classes×bands
     "q_distinct_kmv",  # 1-row kth-hash agg × 1-row exact-count agg combine
     "q_backlog_aging",  # 1-row as-of max-date broadcast vs the filtered fact
+    "q_calib_brier_decomp",  # 1-row score-total broadcast vs the 5-bin join
+    "q_calib_skill_score",   # 1-row climatology broadcast vs the 5-bin join
+    "q_pool_demand_census",        # 1-row calendar broadcast vs the census
+    "q_pool_benefit_by_brand",     # 1-row calendar broadcast vs the census
+    "q_pool_cv2_ladder",           # 1-row calendar broadcast vs the census
+    "q_pool_complementary_pairs",  # 1-row calendar broadcast vs ≤300 pairs
+    "q_leadlag_xcorr_table",  # 14-row lag relation vs the bounded spine
+    "q_leadlag_best_lag",     # 14-row lag relation vs the bounded spine
+    "q_leadlag_diff_xcorr",   # 14-row lag relation vs the bounded spine
+    "q_shuffle_key_imbalance",       # 1-row key-total broadcast vs per-key agg
+    "q_shuffle_salt_advisor",        # 1-row target broadcast vs the top-10
+    "q_shuffle_partition_histogram",  # 1-row total broadcast vs ≤32 buckets
     "q_feat_freq_encode",   # 1-row corpus-total broadcast vs |brands| rows
     "q_feat_cross",         # 1-row corpus-total broadcast vs |crosses| rows
     "q_feat_rare_collapse",  # 1-row corpus-total broadcast vs the codebook

@@ -113,6 +113,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-seventh amendment: the round-10 fourth batch's
         # dependence module joins the round-15 lead after skyline
         f"{registry._PKG}.operators.dependence",
+        # thirty-eighth amendment: the round-11 first batch's
+        # calibration module joins the round-15 lead after dependence
+        f"{registry._PKG}.operators.calibration",
     )
     # twelfth amendment: the fifteenth batch prepends bridge + backlog
     # to the round-16 lead and inequality to the round-17 lead
@@ -133,6 +136,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-third amendment: the round-10 first batch's trend
         # module joins the round-16 lead after botscreen
         f"{registry._PKG}.operators.trend",
+        # thirty-ninth amendment: the round-11 second batch's pooling
+        # module joins the round-16 lead after trend
+        f"{registry._PKG}.operators.pooling",
     )
     # fifteenth amendment: the eighteenth batch's priority_sla module
     # joins the round-17 lead after inequality
@@ -150,6 +156,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-fourth amendment: the round-10 second batch's
         # peerbench module joins the round-17 lead after vecaudit
         f"{registry._PKG}.operators.peerbench",
+        # fortieth amendment: the round-11 third batch's leadlag
+        # module joins the round-17 lead after peerbench
+        f"{registry._PKG}.operators.leadlag",
     )
     # thirteenth amendment: the sixteenth batch prepends tradeflow to
     # the round-18 lead and cadence to the round-19 lead; the
@@ -168,6 +177,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-fifth amendment: the round-10 second batch's
         # sharetree module joins the round-18 lead after simpson
         f"{registry._PKG}.operators.sharetree",
+        # forty-first amendment: the round-11 fourth batch's
+        # shuffleplan module joins the round-18 lead after sharetree
+        f"{registry._PKG}.operators.shuffleplan",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
@@ -182,6 +194,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # thirty-sixth amendment: the round-10 third batch's
         # fingerprint module joins the round-19 lead after revretention
         f"{registry._PKG}.operators.fingerprint",
+        # forty-second amendment: the round-11 fifth batch's
+        # repetition module joins the round-19 lead after fingerprint
+        f"{registry._PKG}.ml.repetition",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
