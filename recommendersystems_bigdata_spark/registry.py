@@ -338,6 +338,14 @@ _TAIL2 = (
     # Joins the round-19 lead after fingerprint (forty-second
     # amendment); the r19 presample pair is regenerated alongside.
     f"{_PKG}.ml.repetition",
+    # Round-11 sixth batch: sequential A/B monitoring (§2.CD). Joins
+    # the round-18 lead after shuffleplan (forty-third amendment); the
+    # r18 presample pair is regenerated alongside.
+    f"{_PKG}.operators.seqab",
+    # Round-11 seventh batch: newsvendor service levels (§2.CE).
+    # Joins the round-19 lead after repetition (forty-fourth
+    # amendment); the r19 presample pair is regenerated alongside.
+    f"{_PKG}.operators.newsvendor",
 )
 
 # Modules that lead the round-20 window (eleventh amendment): all ten
@@ -620,6 +628,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # shuffleplan module joins the round-18 lead after
                 # sharetree; r18 pair regenerated once more.
                 f"{_PKG}.operators.shuffleplan",
+                # forty-third amendment: the round-11 sixth batch's
+                # seqab module joins the round-18 lead after
+                # shuffleplan; r18 pair regenerated once more.
+                f"{_PKG}.operators.seqab",
             )
             rest = _module_order(13)
             return lead + tuple(m for m in rest if m not in lead)
@@ -653,6 +665,10 @@ def _module_order(rnd: int) -> tuple[str, ...]:
                 # repetition module joins the round-19 lead after
                 # fingerprint; r19 pair regenerated once more.
                 f"{_PKG}.ml.repetition",
+                # forty-fourth amendment: the round-11 seventh batch's
+                # newsvendor module joins the round-19 lead after
+                # repetition; r19 pair regenerated once more.
+                f"{_PKG}.operators.newsvendor",
             )
             rest = _module_order(14)
             return lead + tuple(m for m in rest if m not in lead)

@@ -462,6 +462,43 @@ def test_calibration_census_side_decomposition(q):
         assert "Scan parquet" not in plan, (key, plan)
 
 
+def test_seqab_census_side_boundaries(q):
+    """§2.CD: one orders pass to the (month, arm) census; the 12-look
+    expansion and every boundary compare are census-side (no
+    cartesian beyond the adjudicated tiny broadcasts; ≥2 aggregate
+    pairs = map-side combine on the fact)."""
+    for key in (
+        "q_seqab_variant_census",
+        "q_seqab_look_table",
+        "q_seqab_stop_summary",
+        "q_seqab_final_effect",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+
+
+def test_newsvendor_partitioned_rank_picks(q):
+    """§2.CE: ranks are windows PARTITIONED BY BRAND over the
+    checkpointed census (zero parquet scans downstream; the only
+    single-partition exchanges are the 1-row calendar aggregates —
+    the rank window itself hash-partitions on brand, asserted via
+    its hashpartitioning argument); ce4's pooled rank (≤ |months|
+    rows) may single-partition."""
+    for key in (
+        "q_news_demand_quantiles",
+        "q_news_fill_rate_backtest",
+        "q_news_critical_fractile",
+    ):
+        plan = physical_plan(q(key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "Scan parquet" not in plan, (key, plan)
+        assert "hashpartitioning(brand" in plan, (key, plan)
+    pool = physical_plan(q("q_news_pool_stock_saving"))
+    assert "CartesianProduct" not in pool, pool
+    assert "Scan parquet" not in pool, pool
+
+
 def test_repetition_explode_pipeline_and_hof_scan(q):
     """§2.CC: cc1/cc2 are the canonical explode → partial-agg
     pipeline (Generate + ≥2 HashAggregate pairs, map-side combine on
@@ -629,6 +666,12 @@ _BNLJ_ALLOWED = {
     "q_shuffle_key_imbalance",       # 1-row key-total broadcast vs per-key agg
     "q_shuffle_salt_advisor",        # 1-row target broadcast vs the top-10
     "q_shuffle_partition_histogram",  # 1-row total broadcast vs ≤32 buckets
+    "q_seqab_look_table",    # 12-row look relation vs the 24-row census
+    "q_seqab_stop_summary",  # same + 1-row first-crossing attach
+    "q_news_demand_quantiles",   # 5-level/1-row calendar broadcasts vs census
+    "q_news_fill_rate_backtest",  # 1-row calendar broadcast vs census
+    "q_news_critical_fractile",   # 4-row cost relation vs census
+    "q_news_pool_stock_saving",   # 1-row picks vs the 1-row brand total
     "q_feat_freq_encode",   # 1-row corpus-total broadcast vs |brands| rows
     "q_feat_cross",         # 1-row corpus-total broadcast vs |crosses| rows
     "q_feat_rare_collapse",  # 1-row corpus-total broadcast vs the codebook

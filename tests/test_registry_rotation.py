@@ -180,6 +180,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # forty-first amendment: the round-11 fourth batch's
         # shuffleplan module joins the round-18 lead after sharetree
         f"{registry._PKG}.operators.shuffleplan",
+        # forty-third amendment: the round-11 sixth batch's seqab
+        # module joins the round-18 lead after shuffleplan
+        f"{registry._PKG}.operators.seqab",
     )
     thirteenth_lead = (
         f"{registry._PKG}.operators.cadence",
@@ -197,6 +200,9 @@ def test_rounds_10_plus_cycle_the_pinned_windows():
         # forty-second amendment: the round-11 fifth batch's
         # repetition module joins the round-19 lead after fingerprint
         f"{registry._PKG}.ml.repetition",
+        # forty-fourth amendment: the round-11 seventh batch's
+        # newsvendor module joins the round-19 lead after repetition
+        f"{registry._PKG}.operators.newsvendor",
     )
     for rnd in range(10, 21):
         base = registry._module_order(5 + (rnd - 10) % 5)
