@@ -9,9 +9,18 @@ as the global window with a fully distributed two-pass plan:
 1. ``repartitionByRange`` on the (total) ordering — ascending key ranges
    land on ascending partition ids — then ``sortWithinPartitions``, so
    the global order is exactly (partition id, position within partition).
-2. A per-partition local index via ``mapInPandas`` (Arrow-batched; the
-   per-partition iterator lets a running counter span batches), costing
-   no extra shuffle.
+2. A per-partition local index. For :func:`global_row_number` this is
+   pure JVM since round 11: ``monotonically_increasing_id()`` IS
+   ``partition_id · 2³³ + row_offset`` by its documented contract, so
+   one codegen'd expression yields both the partition id (``id >> 33``)
+   and the 1-based local index (``(id & (2³³−1)) + 1``) with ZERO
+   Python-boundary cost (guide §4: the old ``mapInPandas`` spelling
+   paid a full Arrow transpose of the table in each direction just to
+   add a counter). The running-SUM/MAX helpers still use
+   ``mapInPandas``: a per-row prefix needs partition-local running
+   state, and the JVM window spelling (``PARTITION BY pid``) would add
+   a second full shuffle of the data — the Arrow pass is the cheaper
+   boundary there.
 3. A bounded aggregate of per-partition row counts (one row per
    partition — hundreds, not billions) turned into cumulative offsets;
    the only single-partition window in the plan runs over THAT, and the
@@ -69,29 +78,26 @@ def global_row_number(df: DataFrame, order: list, name: str = "rn") -> DataFrame
     the same requirement the repo's hash-matched oracles already impose
     on every global ranking query. Returns ``df``'s columns plus
     ``name`` (long, 1-based).
+
+    The (pid, local index) pair is decoded from
+    ``monotonically_increasing_id()`` — its documented layout is
+    ``partitionId << 33 | rowOffsetWithinPartition``, and the offset is
+    assigned in physical row order, which after ``sortWithinPartitions``
+    IS the total order within the partition. The id is evaluated once
+    (the ``localCheckpoint`` materializes it), so its
+    per-recomputation nondeterminism can never be observed — the same
+    pinning the old Arrow spelling needed for its TaskContext
+    partition ids.
     """
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(_PID, LongType(), False), StructField(_LRN, LongType(), False)]
-    )
-
-    def add_local_index(batches):
-        # Nested def: cloudpickled by value, so executors never need this
-        # module importable on their own sys.path.
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf[_PID] = pid
-            pdf[_LRN] = range(seen + 1, seen + n + 1)
-            seen += n
-            yield pdf
-
+    mid = "_gr_mid"
     ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
-    local = ranged.mapInPandas(add_local_index, schema=out_schema).localCheckpoint()
+    local = (
+        ranged.withColumn(mid, F.monotonically_increasing_id())
+        .withColumn(_PID, F.expr(f"shiftright({mid}, 33)"))
+        .withColumn(_LRN, F.expr(f"({mid} & {(1 << 33) - 1}) + 1"))
+        .drop(mid)
+        .localCheckpoint()
+    )
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     # One row per partition: this window's SinglePartition input is bounded
     # by the shuffle-partition count, not the data.

@@ -20,7 +20,7 @@ an exact hash match rather than a tolerance band.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_tables
 from recommendersystems_bigdata_spark.registry import query
@@ -266,30 +266,53 @@ def star_components(
     and the round's final distinct dedupes the output); per-round
     ``localCheckpoint`` cuts lineage exactly like the min-label loop.
 
-    Stopping rule — exact, two-tier (round 7): each round one aggregate
-    job fingerprints the checkpointed edge set as ``(count,
-    sum(xxhash64(big, small)) in decimal(38,0))`` — a commutative exact
-    integer pair, layout/order-invariant, overflow-free. Only when the
-    fingerprint equals the previous round's does the loop run the exact
-    ``exceptAll`` set-difference confirmation (equal cardinality + empty
-    one-sided difference ⊢ set equality, so a hash collision can never
-    terminate early — it only costs one extra confirmation join). This
-    replaces two count jobs + a per-candidate-round join with one cheap
-    agg per round; profiled at sf0.1 the old stop checks were ~35% of
-    loop wall time on a 146-edge graph, and at 100 TB the saved
-    ``exceptAll`` rounds are full shuffle joins of the edge set.
+    Stopping rule — exact, two-tier (round 7; fused round 11): each
+    round fingerprints the edge set as ``(count, sum(xxhash64(big,
+    small)) in decimal(38,0))`` — a commutative exact integer pair,
+    layout/order-invariant, overflow-free — and since round 11 the
+    fingerprint rides the round's ``localCheckpoint`` materialization
+    as an ``observe`` observation, so the whole round is ONE Spark job
+    (the round-7 spelling paid a separate aggregate job per round; at
+    sf0.1 the loop is scheduler-bound and the fusion halves its job
+    count, at 100 TB it removes one full edge-set pass per round).
+    Only when the fingerprint equals the previous round's does the loop
+    run the exact ``exceptAll`` set-difference confirmation (equal
+    cardinality + empty one-sided difference ⊢ set equality, so a hash
+    collision can never terminate early — it only costs one extra
+    confirmation join). The round-7 two-tier design itself replaced two
+    count jobs + a per-candidate-round join (~35% of loop wall time on
+    a 146-edge graph), and at 100 TB the saved ``exceptAll`` rounds are
+    full shuffle joins of the edge set.
 
     ``stats``, when given, receives ``{"rounds": n}`` for round-count
     assertions.
     """
+    def checkpoint_with_fingerprint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """Materialize a canonical edge frame AND read its (count, exact
+        hash-sum) fingerprint out of the SAME job: the metrics ride the
+        ``localCheckpoint`` materialization as an ``observe`` observation,
+        so each contraction round costs ONE Spark job, not a checkpoint
+        job plus a fingerprint-aggregate job (round 11; guide §1/§2 —
+        at sf0.1 the loop is scheduler-bound and this halves its job
+        count, on a cluster it removes one full pass over the edge set
+        per round). The pair is a commutative exact integer fingerprint:
+        layout/order-invariant, overflow-free in decimal(38,0)."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("big", "small").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint()
+        row = obs.get  # the checkpoint already ran the job; this just reads
+        return out, (row["n"], row["h"])
+
     # Canonical orientation (big, small), deduped: the contraction state.
-    e = (
+    e, prev_fp = checkpoint_with_fingerprint(
         edge_pairs.select(
             F.greatest("src", "dst").alias("big"), F.least("src", "dst").alias("small")
         )
         .filter(F.col("big") != F.col("small"))
         .distinct()
-        .localCheckpoint()
     )
     # Every node ever seen (isolated-in-contraction roots still need rows).
     nodes = (
@@ -298,24 +321,15 @@ def star_components(
         .distinct()
         .localCheckpoint()
     )
-    def fingerprint(df: DataFrame) -> tuple:
-        """(count, exact hash-sum) of a canonical edge frame — one job."""
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("big", "small").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev_fp = fingerprint(e)
     rounds = 0
     while True:
         rounds += 1
-        small = star_round(e).localCheckpoint()
-        # Two-tier exact stop: cheap exact fingerprint per round; on a
-        # fingerprint match, confirm set equality exactly (equal counts +
-        # empty one-sided difference) so a hash collision can only cost a
-        # wasted confirmation join, never a wrong early stop.
-        fp = fingerprint(small)
+        # Two-tier exact stop: cheap exact fingerprint per round (fused
+        # into the round's checkpoint job); on a fingerprint match,
+        # confirm set equality exactly (equal counts + empty one-sided
+        # difference) so a hash collision can only cost a wasted
+        # confirmation join, never a wrong early stop.
+        small, fp = checkpoint_with_fingerprint(star_round(e))
         if fp == prev_fp and small.exceptAll(e).limit(1).count() == 0:
             e = small
             break

@@ -30,9 +30,26 @@ over exact integer fields (keys, cents, epoch days), with distinct
 odd primes P so field transpositions change the hash; bucket
 checksums are ``(Σ rowhash) mod M`` — commutative, so partitioning
 and row order never matter, and map-side partial sums combine freely.
-Products are evaluated in decimal(38,0)/HUGEINT (field ≤ ~10¹²,
-prime < 2³⁰ → products ≤ ~10²¹, far inside range at any SF);
-the published checksum fits BIGINT (< M). A deleted row, a flipped
+
+PER-ROW ARITHMETIC IS PURE BIGINT since round 11 (DuckDB keeps
+HUGEINT): the round-10 spelling evaluated the whole row polynomial in
+decimal(38,0), i.e. three 128-bit multiplies + two adds + one mod per
+row on Spark's slow BigDecimal path — the single most expensive
+expression in the bench's full-fact scan profile. The identity
+``(a+b+c) mod M = ((a mod M)+(b mod M)+(c mod M)) mod M`` lets each
+``field·P`` term reduce independently, and every term provably fits
+int64 at the 100 TB design point: the largest field is lineitem's
+``orderkey·8+linenumber ≤ 4.9·10¹²`` (orderkey ≤ 6·10¹¹ at
+SF=100 000) times P₁ ≈ 10⁶ → ≤ 4.9·10¹⁸ < 2⁶³−1 (headroom ~1.9×;
+cents·100+qty ≤ ~1.1·10⁹ times P₂ < 2³⁰ → ≤ 1.2·10¹⁸; epoch days
+~10⁴·P₃ ≈ 10¹³), and the sum of three mod-reduced terms is
+< 3·(2⁶¹−1) < 2⁶³−1. Spark 4 runs ANSI, so a beyond-design-point SF
+would fail loudly, never wrap silently. Only the ACROSS-ROWS sum
+stays decimal(38,0) (rows × M needs 128 bits — 6·10¹¹ lineitem rows ×
+2.3·10¹⁸ ≈ 1.4·10³⁰ ≪ 10³⁸); the published checksum fits BIGINT
+(< M). Row values are bit-identical to the round-10 spelling (same
+integers, same mod), verified against the unchanged DuckDB oracle and
+the committed sweep hashes. A deleted row, a flipped
 cent, or a date shift each change the bucket checksum (mod-M
 collisions require an adversary, not drift — this is a replication
 audit, not a cryptographic MAC; the doc states that contract).
@@ -72,6 +89,8 @@ _L_DAY_DUCK = (
 
 
 def _rowhash(dec_cast: str, k1: str, k2: str, k3: str) -> str:
+    """HUGEINT spelling (DuckDB oracle): the whole polynomial in one
+    128-bit expression."""
     return (
         f"(CAST({k1} AS {dec_cast}) * {_P1}"
         f" + CAST({k2} AS {dec_cast}) * {_P2}"
@@ -79,10 +98,22 @@ def _rowhash(dec_cast: str, k1: str, k2: str, k3: str) -> str:
     )
 
 
-_O_HASH_SPARK = _rowhash(_DEC, "o_orderkey", _O_CENTS, _O_DAY_SPARK)
+def _rowhash_bigint(k1: str, k2: str, k3: str) -> str:
+    """int64 spelling (Spark engine side): each ``field·P`` term reduced
+    mod M independently — bit-identical values to :func:`_rowhash` (see
+    the module doc's overflow-bound argument), no BigDecimal per-row
+    path."""
+    return (
+        f"((CAST({k1} AS BIGINT) * {_P1}) % {_M}"
+        f" + (CAST({k2} AS BIGINT) * {_P2}) % {_M}"
+        f" + (CAST({k3} AS BIGINT) * {_P3}) % {_M}) % {_M}"
+    )
+
+
+_O_HASH_SPARK = _rowhash_bigint("o_orderkey", _O_CENTS, _O_DAY_SPARK)
 _O_HASH_DUCK = _rowhash("HUGEINT", "o_orderkey", _O_CENTS, _O_DAY_DUCK)
-_L_HASH_SPARK = _rowhash(
-    _DEC, "l_orderkey * 8 + l_linenumber", f"{_L_CENTS} * 100 + {_L_QTY}",
+_L_HASH_SPARK = _rowhash_bigint(
+    "l_orderkey * 8 + l_linenumber", f"{_L_CENTS} * 100 + {_L_QTY}",
     _L_DAY_SPARK,
 )
 _L_HASH_DUCK = _rowhash(
@@ -119,7 +150,7 @@ def q_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows_n"),
             F.expr(
-                f"CAST(sum({_O_HASH_SPARK}) % {_M} AS BIGINT)"
+                f"CAST(sum(CAST({_O_HASH_SPARK} AS {_DEC})) % {_M} AS BIGINT)"
             ).alias("checksum"),
             F.min("o_orderkey").cast("long").alias("key_min"),
             F.max("o_orderkey").cast("long").alias("key_max"),
@@ -228,7 +259,7 @@ def q_fingerprint_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows_n"),
             F.expr(
-                f"CAST(sum({_L_HASH_SPARK}) % {_M} AS BIGINT)"
+                f"CAST(sum(CAST({_L_HASH_SPARK} AS {_DEC})) % {_M} AS BIGINT)"
             ).alias("checksum"),
         )
         .orderBy("ym")
@@ -262,7 +293,7 @@ def q_fingerprint_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
     o = orders.agg(
         F.count(F.lit(1)).cast("long").alias("rows_n"),
-        F.expr(f"CAST(sum({_O_HASH_SPARK}) % {_M} AS BIGINT)").alias(
+        F.expr(f"CAST(sum(CAST({_O_HASH_SPARK} AS {_DEC})) % {_M} AS BIGINT)").alias(
             "checksum"
         ),
         F.expr(
@@ -271,7 +302,7 @@ def q_fingerprint_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("orders").alias("tbl"), "rows_n", "checksum", "key_sum_mod")
     l = lineitem.agg(
         F.count(F.lit(1)).cast("long").alias("rows_n"),
-        F.expr(f"CAST(sum({_L_HASH_SPARK}) % {_M} AS BIGINT)").alias(
+        F.expr(f"CAST(sum(CAST({_L_HASH_SPARK} AS {_DEC})) % {_M} AS BIGINT)").alias(
             "checksum"
         ),
         F.expr(

@@ -14,13 +14,17 @@ date (the standard convention — ignoring censoring would bias
   window over the ≤~85-row month census, never over customers.
 - bf2: the Kaplan-Meier-style survival CURVE via an INTEGER
   RECURRENCE, not a float product: ``S_m = (S_{m-1}·(10⁴−h_m)) div
-  10⁴`` in parts-per-million, folded by a native recursive CTE
-  (Spark 4 UnionLoop / DuckDB WITH RECURSIVE) over the month-indexed
-  life table. This is the actuarial truncation convention — each step
-  truncates once in integer space, so both engines produce the
-  identical curve (a float ``exp(Σln)`` spelling would hang the hash
-  on libm differences; adjudicated the same way as exactmath.py's
-  rounding discipline).
+  10⁴`` in parts-per-million. The recurrence is a strict left fold
+  over the month-ordered life table; the DuckDB oracle spells it as
+  a recursive CTE (WITH RECURSIVE), the Spark side as the
+  ``aggregate`` higher-order function over the ``array_sort``-packed
+  census (bit-identical step algebra — one truncating integer step
+  per observed month in both engines; see the lowering note below).
+  This is the actuarial truncation convention — each step truncates
+  once in integer space, so both engines produce the identical curve
+  (a float ``exp(Σln)`` spelling would hang the hash on libm
+  differences; adjudicated the same way as exactmath.py's rounding
+  discipline).
 - bf3: the summary — subjects, events, event rate, median survival
   month (first month the curve crosses 500 000 ppm) and the
   step-function survival at the 6/12/24-month horizons.
@@ -45,15 +49,30 @@ Spark-first shape, sized for 100 TB:
 - The life table, hazards, recursion and horizon lookups all run on
   the ≤~85-row (×5 segments for bf4) census — iteration count is the
   TIME SPAN, not the data size, exactly like §2.Z's month spine.
-- CRITICAL lowering detail, measured (SCALE.md §14): Spark's
-  UnionLoop RE-EVALUATES the static side's plan every iteration, so a
-  recursive CTE written directly over the fact-derived ``lt2`` costs
-  (iterations × the whole fact pipeline) — 57 s at sf0.1, 136 s at
-  10×. The engine therefore materializes the bounded census FIRST
-  (``localCheckpoint``, the repo's standard pinning device), registers
-  it as a temp view, and recurses over THAT — the loop then touches
-  ≤~85 pinned rows per iteration (0.9 s at sf0.1, flat at 10×). The
-  oracle keeps the single-statement spelling: DuckDB evaluates each
+- CRITICAL lowering detail, measured twice (SCALE.md §14; round 11):
+  Spark's UnionLoop RE-EVALUATES the static side's plan every
+  iteration, so a recursive CTE written directly over the
+  fact-derived ``lt2`` costs (iterations × the whole fact pipeline) —
+  57 s at sf0.1, 136 s at 10×. Round 9 mitigated that by pinning the
+  bounded census (``localCheckpoint``) and recursing over the pinned
+  temp view (~0.9 s of loop at sf0.1) — but the loop itself still
+  launches ONE SPARK JOB PER OBSERVED MONTH (~85 jobs of fixed
+  scheduler overhead for ≤~85 live rows; 7.5 s wall for bf2 at sf0.1,
+  and the per-job overhead multiplies on a real cluster where a job
+  round-trip is costlier than local[n]). Round 11 removes the loop:
+  a left fold over an 85-element array is a single ``aggregate``
+  higher-order-function expression, so the engine packs the census
+  with ``array_sort(collect_list(struct(i, …)))`` and folds it in ONE
+  job (guide §2.4 — remove per-iteration jobs outright when the
+  iteration space is bounded and ordered). The step expression is
+  textually the same integer algebra as the recursive branch, so the
+  curve is bit-identical (verified against the committed sweep hashes
+  at sf0.001/sf0.01 and by tests/test_survival.py's Python fold).
+  bf2 needs no checkpoint at all anymore (its single statement
+  references ``lt2`` once); bf3/bf4 keep the pinned view because the
+  census feeds both the fold and the totals branch, and the pin
+  guarantees the fact pipeline runs once, not per consumer. The
+  oracle keeps the WITH RECURSIVE spelling: DuckDB evaluates each
   CTE once, so the two texts stay semantically identical.
 
 Oracle note: the SQL text is SHARED between engines (``{div}`` is the
@@ -141,6 +160,45 @@ def _km(div: str, seg: bool = False, rel: str = "lt2") -> str:
 """
 
 
+def _km_fold(seg: bool = False, rel: str = "lt2") -> str:
+    """The Spark-side lowering of the actuarial fold: the SAME integer
+    recurrence as :func:`_km`, expressed as one ``aggregate``
+    higher-order function over the month-sorted census array instead of
+    a recursive CTE. UnionLoop launches one Spark job per iteration
+    (fixed scheduler cost × ~85 observed months); the fold is a single
+    expression inside one job. The step algebra is textually identical
+    — ``(s · (10⁴ − hazard_bp)) div 10⁴`` from ``s = 10⁶`` — so the
+    produced rows are bit-identical to the recursive spelling (the
+    oracle keeps WITH RECURSIVE; equivalence is pinned by
+    tests/test_survival.py's independent Python fold and the sweep
+    hashes). ``array_sort`` on ``struct(i, …)`` orders by the unique
+    month index ``i``, i.e. exactly the recursion's ``i = km.i + 1``
+    visit order; for ``seg=True`` the fold runs per segment (GROUP BY),
+    mirroring the segment-keyed recursion frontier."""
+    segsel = "seg, " if seg else ""
+    group = " GROUP BY seg" if seg else ""
+    step = "(acc.s * (10000 - x.hazard_bp)) div 10000"
+    return f"""
+ packed AS (
+  SELECT {segsel}array_sort(collect_list(struct(i, m, hazard_bp))) AS xs
+  FROM {rel}{group}
+),
+km AS (
+  SELECT {segsel}f.m, f.hazard_bp, f.s_ppm
+  FROM packed
+  LATERAL VIEW inline(aggregate(
+    xs,
+    named_struct('s', CAST(1000000 AS BIGINT),
+                 'out', CAST(array() AS ARRAY<STRUCT<m: BIGINT, hazard_bp: BIGINT, s_ppm: BIGINT>>)),
+    (acc, x) -> named_struct(
+      's', {step},
+      'out', concat(acc.out, array(named_struct(
+        'm', x.m, 'hazard_bp', x.hazard_bp, 's_ppm', {step})))),
+    acc -> acc.out)) f AS m, hazard_bp, s_ppm
+)
+"""
+
+
 def _pinned_lt2(spark: SparkSession, sf_dir: str, seg: bool = False) -> str:
     """Materialize the bounded life-table census (localCheckpoint) and
     register it as a temp view for the recursion to iterate over —
@@ -201,23 +259,28 @@ FROM km JOIN {rel} USING (i, m) ORDER BY m
 )
 def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.BF bf2 — the Kaplan-Meier-style survival curve as an INTEGER
-    recurrence folded by a native recursive CTE: ``S_m =
-    (S_{m-1}·(10⁴−h_m)) div 10⁴`` in ppm from ``S=10⁶``, one exact
-    truncation per observed month, identical in both engines (the
-    float ``exp(Σ ln(1−h))`` spelling would hash-diverge on libm; this
-    is the actuarial-truncation convention, stated in the module doc).
-    Monotone non-increasing by construction — pinned by the gate.
+    recurrence: ``S_m = (S_{m-1}·(10⁴−h_m)) div 10⁴`` in ppm from
+    ``S=10⁶``, one exact truncation per observed month, identical in
+    both engines (the float ``exp(Σ ln(1−h))`` spelling would
+    hash-diverge on libm; this is the actuarial-truncation convention,
+    stated in the module doc). Monotone non-increasing by construction
+    — pinned by the gate. The oracle folds by WITH RECURSIVE; the
+    engine folds the same algebra with the ``aggregate`` HOF (module
+    doc lowering note) — bit-identical rows, one job instead of one
+    job per month.
 
-    Scale: the recursion runs over the CHECKPOINT-PINNED month census
-    (see the module doc's UnionLoop note) — depth = observed month
-    span (≤~85 ≪ the 100-level conf), each iteration a 1-row frontier
-    probe against ≤~85 pinned rows, nothing fact-sized inside the
-    loop."""
-    view = _pinned_lt2(spark, sf_dir)
+    Scale: ONE declarative plan — the fact pass (groupBy min + custkey
+    equi-join), the ≤~85-row census windows, and the fold expression;
+    recursion depth/job count no longer exist, and the curve cost is
+    the fact pass, flat in the month span."""
+    register_views(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE"
-        + _km("div", rel=view)
-        + _KM_SELECT.format(rel=view)
+        "WITH "
+        + _base(_DD_SPARK, "div")
+        + ","
+        + _km_fold()
+        + "SELECT m, CAST(hazard_bp AS BIGINT) AS hazard_bp,"
+        " CAST(s_ppm AS BIGINT) AS s_ppm FROM km ORDER BY m"
     )
 
 
@@ -260,16 +323,19 @@ def q_survival_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizons (``max_by(s_ppm, m)`` over months ≤ the horizon — the
     last completed step; 10⁶ ppm when no month has completed).
 
-    Scale: the same fact pass as bf1, pinned once; subject totals are
-    exit sums over the pinned census (every subject exits exactly
-    once, so Σ(events+censored) IS the cohort); the summary is
+    Scale: the same fact pass as bf1, pinned once (the census feeds
+    BOTH the totals branch and the curve fold, so the pin keeps the
+    fact pipeline to one run); subject totals are exit sums over the
+    pinned census (every subject exits exactly once, so
+    Σ(events+censored) IS the cohort); the curve is the one-job
+    ``aggregate``-HOF fold (module doc lowering note), the summary is
     census-side FILTER-clause aggregation over the ≤~85-row curve, and
     the final 1-row × 1-row combine is a broadcast nested loop by
     construction."""
     view = _pinned_lt2(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE"
-        + _km("div", rel=view)
+        "WITH"
+        + _km_fold(rel=view)
         + _SUMMARY_SELECT.format(div="div", rel=view)
     )
 
@@ -305,17 +371,18 @@ def q_survival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.BF bf4 — the segment-stratified comparison: per market
     segment, subjects, events, the event rate in truncated bp, and the
     12-month survival from a SEGMENT-KEYED actuarial recurrence (the
-    recursive frontier carries one row per segment per iteration, so
-    stratification multiplies the frontier width — 5 rows — not the
-    depth). The cross-segment ordering of reorder propensity falls out
-    directly.
+    oracle's recursive frontier carries one row per segment per
+    iteration; the engine folds per segment — GROUP BY seg — so
+    stratification multiplies fold width, not job count). The
+    cross-segment ordering of reorder propensity falls out directly.
 
     Scale: the per-customer pass gains one customer-dim join for the
     segment key (SF-scaled, hash join); the stratified census is
-    pinned once and everything recursive stays on its ≤ 5×85 rows."""
+    pinned once and the five per-segment folds run in one job over
+    its ≤ 5×85 rows."""
     view = _pinned_lt2(spark, sf_dir, seg=True)
     return spark.sql(
-        "WITH RECURSIVE"
-        + _km("div", seg=True, rel=view)
+        "WITH"
+        + _km_fold(seg=True, rel=view)
         + _SEG_SELECT.format(div="div", rel=view)
     )
