@@ -684,41 +684,59 @@ def q_dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature subtree inside band_candidates feeds the fused
     self-join's two legs and recomputes in each (no Catalyst subtree
-    reuse; 12 HashAggregates in the plan — down from 16 before the
-    band fusion). Measured at sf0.1 the recompute is CHEAPER than
+    reuse). Measured at sf0.1 the recompute is CHEAPER than
     materializing (localCheckpoint: 1.8–2.3 s vs 1.5 s) because the
     build stays fused in codegen. At 100 TB the trade reverses —
     signatures are written once as a table and every dedup pass reads
     them — which is a storage-layout decision, not a query-plan one.
+
+    Verify lowering (round 11): the exact-Jaccard check attaches each
+    side's DISTINCT-TOKEN ARRAY to the candidate pair (two doc-grain
+    equi-joins) and computes ``n_shared = size(array_intersect(a, b))``
+    in the JVM — the same device l4's (q_dedup_clusters) edge gate
+    already uses. The round-10 spelling exploded both sides to token
+    grain, shuffled (candidate × token) rows into a token-equality
+    join, re-aggregated pairs, then joined two size relations back on —
+    5 joins + 2 aggregates and a token-grain exchange whose row count
+    is Σ|tokens| PER CANDIDATE SIDE (guide §2.3/§3.3: don't explode
+    before a join when the join can run on the un-exploded grain).
+    Plan effect at sf0.1: 24 Exchanges → 13, 16 HashAggregates → 10
+    (plans/r11/q_dedup_lsh_join_{before,after}.txt). The oracle keeps
+    the token-join spelling; rows are identical because both token
+    lists are distinct (count of equal-token matches IS the
+    intersection size) — with one edge case made explicit: the
+    token-equality join emits nothing for a candidate pair sharing
+    zero tokens (possible only via a band-key collision), so the array
+    spelling filters ``n_shared > 0`` to match.
     """
     cand = band_candidates(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("t"),
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta, tb = tok.alias("ta"), tok.alias("tb")
-    inter = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(tb, (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("tb.t") == F.col("ta.t")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    paired = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long").alias("n_shared"),
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+        )
+        .filter(F.col("n_shared") > 0)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
     jac = F.floor(
         F.col("n_shared").cast("double") * 1_000_000
         / (F.col("na") + F.col("nb") - F.col("n_shared"))
     ).cast("long")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            jac.alias("jaccard_x1e6"),
-            (jac >= 500_000).alias("is_dup"),
-        )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        jac.alias("jaccard_x1e6"),
+        (jac >= 500_000).alias("is_dup"),
     )

@@ -325,10 +325,15 @@ def q_search_bm25ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: document length is computed map-side and rides the partial-agg
     as a group key (functionally dependent on doc_id), so the hit-bounded
     tf relation never joins a corpus-wide table; the exploded relation is
-    filtered to the query's terms before the (doc, term) shuffle; df
-    (|terms| rows) and the corpus stats (1 row) broadcast back; the final
-    cut is TakeOrderedAndProject. Everything exchanged is bounded by
-    query hits, not corpus size."""
+    filtered to the query's terms before the (doc, term) shuffle; df is a
+    WINDOW COUNT over the hit-bounded tf relation (round 11 — the
+    round-10 groupBy+broadcast-join spelling recomputed the whole
+    scan→tokenize→explode subtree for the df leg because Catalyst gave
+    it no exchange reuse: 3 parquet scans in the plan, now 2, 14
+    Exchanges → 8; guide §2.4 — a window keyed like the data it reads
+    replaces a re-aggregation plus a join); the corpus stats (1 row)
+    broadcast back; the final cut is TakeOrderedAndProject. Everything
+    exchanged is bounded by query hits, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select("doc_id", F.size(_toks()).alias("dl"))
     corpus = F.broadcast(
@@ -345,9 +350,10 @@ def q_search_bm25ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = F.broadcast(tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")))
+    # df via a window over the hit-bounded tf relation: one tf subtree in
+    # the plan (no re-scan for a df aggregate, no join back).
     scored = (
-        tf.join(dfreq, "t")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("t")))
         .crossJoin(corpus)
         .select(
             "doc_id",

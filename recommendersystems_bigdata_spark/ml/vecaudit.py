@@ -39,7 +39,7 @@ bounded census: ≤ a few norm/concentration buckets, 64 dimensions,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from recommendersystems_bigdata_spark.catalog import load_table
 from recommendersystems_bigdata_spark.registry import query
@@ -105,8 +105,16 @@ def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting cosine ≈ dot. The e6 fixed-point norms are exact
     integers from the bit-identical per-row fold (module doc).
 
-    Scale: one map-side fold pass → bounded norm census; the total
-    rides a 1-row broadcast."""
+    Scale: one map-side fold pass → bounded norm census; the total is
+    an unpartitioned window OVER THE BOUNDED CENSUS (round 11 — the
+    round-10 1-row-broadcast spelling re-aggregated the census from
+    scratch for the total, and Catalyst/AQE gave the duplicated subtree
+    no exchange reuse, so the fact-wide fold ran TWICE: 2 parquet scans
+    + 2 fold passes in plans/r11/q_emb_norm_audit_before.txt; measured
+    3.1 s → 0.55 s at sf0.1. The window's SinglePartition input is the
+    ≤~10³-row census, the same boundedness adjudication as §2.AX's
+    census windows — guide §2.4, share the pass instead of repeating
+    it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         F.expr(f"CAST(floor(1000000 * {_NORM2_SPARK}) AS BIGINT)").alias(
@@ -120,9 +128,9 @@ def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm2_e6").cast("long").alias("min_norm2_e6"),
         F.max("norm2_e6").cast("long").alias("max_norm2_e6"),
     )
-    tot = census.agg(F.sum("vectors").cast("long").alias("n"))
+    n = F.sum("vectors").over(Window.partitionBy()).cast("long")
     return (
-        census.crossJoin(F.broadcast(tot))
+        census.withColumn("n", n)
         .select(
             "norm2_milli",
             "vectors",
@@ -222,16 +230,18 @@ def q_emb_concentration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the guard), bucketed in 500 bp bands with the peaky flag (≥ 25 %):
     near-one-hot vectors are degenerate-input fingerprints.
 
-    Scale: one map-side fold pass → ≤ 21-bucket census; 1-row total
-    broadcast."""
+    Scale: one map-side fold pass → ≤ 21-bucket census; the total is an
+    unpartitioned window over the bounded census (round 11 — same
+    double-fold removal as bn1, see q_emb_norm_audit's scale note)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.expr(_CONC_SPARK).alias("conc_bp"))
     census = v.groupBy(
         F.expr("500 * (conc_bp div 500)").alias("bucket_lo_bp")
     ).agg(F.count(F.lit(1)).cast("long").alias("vectors"))
-    tot = census.agg(F.sum("vectors").cast("long").alias("n"))
     return (
-        census.crossJoin(F.broadcast(tot))
+        census.withColumn(
+            "n", F.sum("vectors").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "bucket_lo_bp",
             "vectors",
@@ -275,8 +285,9 @@ def q_emb_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness rule), and the peaky count/rate: class imbalance and
     per-class geometry drift in one table.
 
-    Scale: one map-side fold pass → |labels|-row census; 1-row total
-    broadcast."""
+    Scale: one map-side fold pass → |labels|-row census; the total is
+    an unpartitioned window over the bounded census (round 11 — same
+    double-fold removal as bn1, see q_emb_norm_audit's scale note)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "label",
@@ -292,9 +303,10 @@ def q_emb_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.col("conc_bp") >= _PEAKY_BP).cast("long").alias("peaky"),
     )
-    tot = census.agg(F.sum("vectors").cast("long").alias("n"))
     return (
-        census.crossJoin(F.broadcast(tot))
+        census.withColumn(
+            "n", F.sum("vectors").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "label",
             "vectors",

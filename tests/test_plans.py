@@ -1557,14 +1557,20 @@ def test_search_topk_filters_terms_before_shuffle(q):
 
 
 def test_search_bm25_broadcasts_stats_no_fact_join(q):
-    """§2.X x5: df and corpus stats must broadcast back onto the
-    hit-bounded tf relation (document length rides the partial agg as a
-    group key) — no sort-merge join anywhere, and the only
-    nested-loop is the adjudicated 1-row corpus-stats cross join."""
+    """§2.X x5: corpus stats broadcast back onto the hit-bounded tf
+    relation as the adjudicated 1-row cross join, df is a WINDOW COUNT
+    over the same hit-bounded tf rows (round 11 — the former
+    groupBy+broadcast-join df leg recomputed the whole
+    scan→tokenize→explode subtree, a third parquet scan in the plan),
+    document length rides the partial agg as a group key, and the
+    final cut lowers to TakeOrderedAndProject. No sort-merge join, and
+    exactly TWO scans of documents (tf + corpus stats) — a third scan
+    means the df leg regressed to re-aggregation."""
     phys = physical_plan(q("q_search_bm25ish"))
     assert "SortMergeJoin" not in phys, phys
-    assert "BroadcastHashJoin" in phys, phys
     assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" in phys, phys
+    assert phys.count("Scan parquet") == 2, phys
 
 
 def test_recursive_closure_partial_aggregates_no_nested_loop(q):
@@ -2453,18 +2459,24 @@ def test_botscreen_user_keyed_shapes(q):
 
 
 def test_vecaudit_fold_census_shapes(q):
-    """§2.BN: bn1/bn3/bn4 are one map-side fold pass into a bounded
-    census — no joins beyond the adjudicated 1-row totals, no window;
-    bn2's 64× posexplode partial-aggregates immediately (Generate
-    feeds an aggregate, and the shuffle carries 64 dimension groups,
-    never the exploded relation — pinned by the partial/final pair)."""
+    """§2.BN: bn1/bn3/bn4 are ONE map-side fold pass into a bounded
+    census — exactly one parquet scan (round 11: the former
+    1-row-broadcast totals re-ran the fact-wide fold, two scans + two
+    fold passes; the total is now an unpartitioned window over the
+    bounded census), no joins at all; bn2's 64× posexplode
+    partial-aggregates immediately (Generate feeds an aggregate, and
+    the shuffle carries 64 dimension groups, never the exploded
+    relation — pinned by the partial/final pair)."""
     for key in ("q_emb_norm_audit", "q_emb_concentration_screen",
                 "q_emb_label_balance"):
         phys = physical_plan(q(key))
         assert "CartesianProduct" not in phys, (key, phys)
-        assert "Window" not in phys, (key, phys)
+        assert "BroadcastNestedLoopJoin" not in phys, (key, phys)
+        # the bounded-census total window is the ONLY window
+        assert phys.count("Window") <= 2, (key, phys)
         joins = phys.count("SortMergeJoin") + phys.count("ShuffledHashJoin")
         assert joins == 0, (key, phys)
+        assert phys.count("Scan parquet") == 1, (key, phys)
     phys2 = physical_plan(q("q_emb_dead_dims"))
     assert "Generate" in phys2, phys2
     assert phys2.count("HashAggregate") >= 2, phys2  # partial + final
