@@ -41,11 +41,14 @@ months ⇒ recursion depth within Spark's default
 would raise that conf — documented, not binding here).
 
 Spark-first shape, sized for 100 TB:
-- ONE orders pass builds first-order dates (partial-aggregated
-  min per customer); the second-order probe is a self-join on
-  custkey with a date predicate — hash-partitioned equi-join, no
-  window over the fact. The 1-row corpus-max date attaches as a
-  broadcast.
+- ONE orders pass builds the first/second-order probe (round 11):
+  ``array_sort(collect_set(o_orderdate))`` per customer — element 1
+  is the first order date, element 2 the second DISTINCT date, i.e.
+  exactly the old ``firsts``/``seconds`` pair without the orders⋈firsts
+  self-join that re-shuffled the fact a second time (bounded
+  per-customer state, the §2.V collect discipline; measured 3.7 s →
+  1.25 s for bf2 at sf0.1). The 1-row corpus-max date attaches as a
+  broadcast. The oracle keeps the join spelling (see Oracle note).
 - The life table, hazards, recursion and horizon lookups all run on
   the ≤~85-row (×5 segments for bf4) census — iteration count is the
   TIME SPAN, not the data size, exactly like §2.Z's month spine.
@@ -75,9 +78,13 @@ Spark-first shape, sized for 100 TB:
   oracle keeps the WITH RECURSIVE spelling: DuckDB evaluates each
   CTE once, so the two texts stay semantically identical.
 
-Oracle note: the SQL text is SHARED between engines (``{div}`` is the
-only substitution besides day-diff spelling), so the oracle certifies
-the same algebra, not a reimplementation.
+Oracle note: the oracle keeps the round-9 text (``_base`` join
+spelling + WITH RECURSIVE fold) while the engine runs the round-11
+lowering (``_base_spark`` one-pass probe + ``aggregate``-HOF fold) —
+the oracle therefore certifies the published values through an
+INDEPENDENT algebra, and the bit-identity of the two lowerings is
+additionally pinned by the committed sweep hashes and
+tests/test_survival.py's Python folds.
 """
 
 from __future__ import annotations
@@ -160,6 +167,65 @@ def _km(div: str, seg: bool = False, rel: str = "lt2") -> str:
 """
 
 
+def _base_spark(seg: bool = False) -> str:
+    """The Spark-side lowering of the life-table chain: identical rows
+    to :func:`_base` (the oracle keeps that join spelling), with the
+    first/second-order probe computed in ONE orders pass instead of a
+    groupBy-min plus an orders⋈firsts self-join plus a second groupBy
+    (round 11; guide §2.4 — the join re-shuffled the whole orders fact
+    on custkey a second time just to find each customer's second
+    distinct date). ``array_sort(collect_set(o_orderdate))`` yields the
+    distinct order dates in order: element 1 IS ``min(o_orderdate)``
+    and element 2 IS ``min(date) WHERE date > min`` — the exact
+    ``firsts``/``seconds`` pair (bounded per-customer state, the same
+    collect_list discipline as §2.V's user signatures; measured 3.7 s →
+    1.25 s at sf0.1 for bf2). The corpus-max date stays a separate
+    column-pruned 1-row aggregate riding a broadcast cross join."""
+    segsel = ", c.c_mktsegment AS seg" if seg else ""
+    segcol = ", seg" if seg else ""
+    segpart = "PARTITION BY seg " if seg else ""
+    segjoin = "JOIN customer c ON c.c_custkey = f.ck " if seg else ""
+    dd_t2 = _DD_SPARK.format(a="f.t1", b="f.t2")
+    dd_max = _DD_SPARK.format(a="f.t1", b="dmax")
+    return f"""
+fs AS (
+  SELECT o_custkey AS ck, array_sort(collect_set(o_orderdate)) AS ds
+  FROM orders GROUP BY 1
+),
+firsts2 AS (
+  SELECT ck, element_at(ds, 1) AS t1,
+         CASE WHEN size(ds) >= 2 THEN element_at(ds, 2) END AS t2
+  FROM fs
+),
+maxd AS (SELECT max(o_orderdate) AS dmax FROM orders),
+subj AS (
+  SELECT f.ck{segsel},
+         CASE WHEN f.t2 IS NOT NULL THEN 1 ELSE 0 END AS event,
+         (CASE WHEN f.t2 IS NOT NULL THEN {dd_t2}
+               ELSE {dd_max} END) div 30 AS m
+  FROM firsts2 f
+  {segjoin}CROSS JOIN maxd
+),
+ec AS (
+  SELECT m{segcol}, CAST(sum(event) AS BIGINT) AS events,
+         CAST(sum(1 - event) AS BIGINT) AS censored
+  FROM subj GROUP BY ALL
+),
+lt AS (
+  SELECT m{segcol}, events, censored,
+         sum(events + censored) OVER ({segpart}ORDER BY m
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM ec
+),
+lt2 AS (
+  SELECT m{segcol}, n_at_risk, events, censored,
+         (10000 * events) div n_at_risk AS hazard_bp,
+         row_number() OVER ({segpart}ORDER BY m) AS i
+  FROM lt
+)
+"""
+
+
 def _km_fold(seg: bool = False, rel: str = "lt2") -> str:
     """The Spark-side lowering of the actuarial fold: the SAME integer
     recurrence as :func:`_km`, expressed as one ``aggregate``
@@ -209,7 +275,7 @@ def _pinned_lt2(spark: SparkSession, sf_dir: str, seg: bool = False) -> str:
     segcol = ", seg" if seg else ""
     df = spark.sql(
         "WITH "
-        + _base(_DD_SPARK, "div", seg=seg)
+        + _base_spark(seg=seg)
         + f"SELECT m{segcol}, n_at_risk, events, censored, hazard_bp, i"
         f" FROM lt2"
     ).localCheckpoint()
@@ -240,7 +306,7 @@ def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one orders groupBy(custkey) min + one custkey equi-join for
     the second-order probe; the census window runs over ≤~85 rows."""
     register_views(spark, sf_dir)
-    return spark.sql("WITH " + _base(_DD_SPARK, "div") + _LT_SELECT)
+    return spark.sql("WITH " + _base_spark() + _LT_SELECT)
 
 
 _KM_SELECT = """
@@ -276,7 +342,7 @@ def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         "WITH "
-        + _base(_DD_SPARK, "div")
+        + _base_spark()
         + ","
         + _km_fold()
         + "SELECT m, CAST(hazard_bp AS BIGINT) AS hazard_bp,"
