@@ -391,18 +391,27 @@ def q_str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The nationkey equi conjunct keeps the self-join hash-partitioned (no
     cross product); at 100 TB the same shape works with any blocking key.
-    """
+
+    Round 11: the distance is evaluated with Spark's THRESHOLD variant
+    ``levenshtein(l, r, 2)`` — the banded O(len·k) algorithm with early
+    exit instead of the full O(len²) matrix per pair (guide §1.2,
+    per-task work; the blocked self-join still evaluates one distance
+    per candidate pair, ~4.5M at sf0.1, so the per-pair constant IS the
+    query's cost). Results are identical: for every surviving row the
+    threshold form returns exactly the unbounded distance (it returns
+    −1 only above the threshold, and the filter admits 0..2 — −1 can
+    never pass)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     a = cust.alias("a")
     b = cust.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     return (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter(dist <= 2)
+        .filter((dist >= 0) & (dist <= 2))
         .select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),

@@ -120,8 +120,12 @@ def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dkey", "ds", "ckey", "cs")
         .distinct()
     )
-    return cand.filter(F.levenshtein("ds", "cs") <= 1).select(
-        "dkey", "ckey", F.levenshtein("ds", "cs").cast("long").alias("dist")
+    # Threshold (banded) levenshtein — identical values for surviving
+    # rows, −1 only above the budget, which the filter can never admit
+    # (round 11; see q_str_levenshtein's note).
+    dist = F.levenshtein("ds", "cs", 1)
+    return cand.filter((dist >= 0) & (dist <= 1)).select(
+        "dkey", "ckey", dist.cast("long").alias("dist")
     )
 
 

@@ -803,10 +803,16 @@ def q_item_recs_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p.i").alias("item_i"), F.col("p.j").alias("item_j"), "co")
     wn = Window.partitionBy("item_i").orderBy(F.col("co").desc(), "item_j")
     neighbors = co.withColumn("nr", F.row_number().over(wn)).filter(F.col("nr") <= 10).drop("nr")
+    # Pinned (round 11): user_items feeds BOTH the candidate join and the
+    # owned anti-join, and Catalyst re-ran the orders⋈lineitem+distinct
+    # subtree for each consumer (two full fact joins in the plan). The
+    # pinned relation is the 16-byte-per-row interaction table — the
+    # standard materialize-interactions-once discipline at 100 TB.
     user_items = (
         orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
+        .localCheckpoint()
     )
     cand = user_items.join(F.broadcast(neighbors), F.col("item_id") == F.col("item_i"))
     owned = user_items.select("user_id", F.col("item_id").alias("rec_item"))

@@ -1067,13 +1067,21 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one per-user aggregate (shuffle on user_id), then a 1-row
     reduction — assignment is a map-side expression (hash-mod in
     production so arms stay stable under resharding, cf. l20).
-    """
+
+    Round 11: the per-user relation is localCheckpoint-PINNED — it
+    feeds both the 1-row totals and the assignment pass, and Catalyst
+    gave the duplicated subtree no exchange reuse, so the whole events
+    fact was scanned and user-shuffled TWICE (2 parquet scans in
+    plans/r11/q_ab_test_proportions_before.txt; measured 8.2 s → ~3 s
+    at sf0.1). Pinning the (user_id, n_p) reduction — 16 bytes/user —
+    is the §2.AX spend-census discipline: materialize the reduced
+    relation once, never re-run the fact pass."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("n_p")
-    )
+    ).localCheckpoint()
     tot = per_user.agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("n_p").cast("long").alias("total_p")
     )

@@ -32,22 +32,24 @@ hash-matches the oracle's recursive closure bit-for-bit.
 
 Spark-first shape, sized for 100 TB:
 - ONE customer pass partial-aggregates to the ≤648-cell census (10°
-  grid); the 1-row (total, nonempty) stats row attaches as a broadcast.
+  grid); the (total, nonempty) stats are an unpartitioned window over
+  that bounded census (round 11 — the former 1-row broadcast re-ran the
+  customer pass).
 - Adjacency is the 3×3 stencil EXPLODE + equi-join on the neighbor
   cell id (§2.AF's avoid-all-pairs device) — never an inequality
   nested loop; self-pairs ride along so singleton cells label
   themselves.
-- The min-label loop (ml/graph.py) runs on the ≤648-node cell graph —
-  rounds ~ region diameter in CELLS, each round a census-sized join.
-  The grid caps the graph no matter the fact size: 100 TB of customers
-  changes cell WEIGHTS, not the clustering cost.
+- The star-contraction loop (ml/graph.py, round 11 — one observe-fused
+  job per round, ~log₂(diameter) rounds) runs on the ≤648-node cell
+  graph. The grid caps the graph no matter the fact size: 100 TB of
+  customers changes cell WEIGHTS, not the clustering cost.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from recommendersystems_bigdata_spark.ml.graph import min_label_components
+from recommendersystems_bigdata_spark.ml.graph import star_components
 from recommendersystems_bigdata_spark.operators.spatial import (
     _CELL,
     _CUST_SQL,
@@ -116,15 +118,17 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Above-mean cells with their integer cell id; the 1-row stats
-    relation attaches as a broadcast."""
+    """Above-mean cells with their integer cell id. The corpus stats
+    (nonempty-cell count, customer total) are an unpartitioned window
+    over the BOUNDED ≤648-cell census (round 11 — the former 1-row
+    broadcast re-aggregated the census subtree, and Catalyst gave the
+    duplicate no exchange reuse, so the customer fact was scanned and
+    cell-shuffled twice; same fix as §2.BN's norm census)."""
     cells = _cells(spark, sf_dir)
-    stats = cells.agg(
-        F.count(F.lit(1)).cast("long").alias("nonempty"),
-        F.sum("n").cast("long").alias("total"),
-    )
+    w = Window.partitionBy()
     return (
-        cells.crossJoin(F.broadcast(stats))
+        cells.withColumn("nonempty", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("total", F.sum("n").over(w).cast("long"))
         .where(F.col("n") * F.col("nonempty") > F.col("total"))
         .select(
             "cell_x",
@@ -138,8 +142,17 @@ def _hot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster rollup: min-label CC over the 8-neighbor cell graph
-    (self-pairs included, so singleton hotspot cells label themselves)."""
+    """Per-cluster rollup: connected components over the 8-neighbor cell
+    graph, labels = min cell id per component. Round 11: the kernel is
+    the shared large-star/small-star contraction (ml/graph.py
+    star_components — observe-fused ONE job per round, ~log(diameter)
+    rounds) instead of the min-label propagator, whose rounds ~ cluster
+    diameter at TWO jobs each dominated this suite's wall time on the
+    ≤648-cell graph. Both kernels label a component by its min id
+    (pinned label-identical in tests/test_graph.py); singleton hotspot
+    cells — self-loops, which the contraction canonicalizes away — come
+    back via the same left-join + coalesce(label, id) device
+    q_dedup_clusters uses."""
     hot = _hot(spark, sf_dir).localCheckpoint()
     stencil = hot.select(
         "id",
@@ -165,9 +178,10 @@ def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot.select(F.col("id").alias("pb")),
         stencil.nbr_id == F.col("pb"),
     ).select("pa", "pb")
-    labels = min_label_components(edges).withColumnRenamed("part", "id")
+    labels = star_components(edges.selectExpr("pa AS src", "pb AS dst")).withColumnRenamed("part", "id")
     return (
-        hot.join(labels, "id")
+        hot.join(labels, "id", "left")
+        .withColumn("label", F.coalesce("label", "id"))
         .groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cells"),
