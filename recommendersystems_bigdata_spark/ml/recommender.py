@@ -108,7 +108,10 @@ def q_cooccurrence_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k3 — item-item Jaccard similarity from order co-occurrence (the
     item-based CF neighborhood model, shuffled on the order key)."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    item_orders = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # Pinned (round 11): item_orders feeds both self-join legs AND the
+    # per-item counts; unpinned, Catalyst re-ran the scan+distinct for
+    # each consumer (4 lineitem scans in the plan).
+    item_orders = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     a, b = item_orders.alias("a"), item_orders.alias("b")
     pairs = (
         a.join(
@@ -601,7 +604,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-item counts table broadcasts; the pair build is the c11
     self-join (shuffle on orderkey, output bounded by basket width²)."""
     (li,) = load_tables(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # Pinned (round 11): basket feeds the order count, the per-item
+    # counts, and both self-join legs — unpinned, each consumer re-ran
+    # the scan+distinct (4 lineitem passes, one of them just for the
+    # 1-value order count).
+    basket = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_orders = basket.select("l_orderkey").distinct().count()
     item = basket.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("n_item"))
     a, b = basket.alias("a"), basket.alias("b")
@@ -682,10 +689,13 @@ def q_user_user_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 is a TakeOrderedAndProject, no total sort.
     """
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    # Pinned (round 11): user_items feeds both self-join legs AND the
+    # per-user counts (same multi-consumer re-run as q_item_recs_cooccur).
     user_items = (
         orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
+        .localCheckpoint()
     )
     a, b = user_items.alias("a"), user_items.alias("b")
     pairs = (

@@ -124,11 +124,14 @@ def _moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_partkey, active, s, ssq, m): per-part monthly-demand moments
     with the global month count attached as a 1-row broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Pinned (round 11): the part-month census feeds both the per-part
+    # moments and the global month count — unpinned, Catalyst re-ran the
+    # whole fact scan+aggregate for each consumer.
     pmc = li.groupBy(
         "l_partkey",
         F.year("l_shipdate").alias("yr"),
         F.month("l_shipdate").alias("mo"),
-    ).agg(F.expr(f"CAST(sum({_QTY}) AS BIGINT)").alias("q"))
+    ).agg(F.expr(f"CAST(sum({_QTY}) AS BIGINT)").alias("q")).localCheckpoint()
     moments = pmc.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("active"),
         F.sum("q").cast("long").alias("s"),
