@@ -358,8 +358,12 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    train = split_items(F.col("rn") > 1)
-    truth = split_items(F.col("rn") == 1)
+    # Pinned (round 11): train feeds the popularity rollup AND the unseen
+    # anti-join; truth feeds the user list, the hit join AND the per-user
+    # truth counts — unpinned, Catalyst re-ran the orders-window ⋈
+    # lineitem + distinct pipeline for every consumer (~5 fact passes).
+    train = split_items(F.col("rn") > 1).localCheckpoint()
+    truth = split_items(F.col("rn") == 1).localCheckpoint()
 
     # limit-first (TakeOrderedAndProject): the popularity list is capped at
     # 100 before the ranking window, so no full-catalog single-partition pass.

@@ -2297,18 +2297,23 @@ def test_eventstudy_scenario_map_broadcast(q):
 
 
 def test_survival_census_recursion(q):
-    """§2.BF: the fact cost is ONE orders groupBy + one custkey
-    equi-join probe; the recursion (bf2/bf3/bf4) runs as a UnionLoop
-    over the month-indexed census — no fact relation inside the loop
-    (the loop joins lt2, a ≤~85-row frame). The life table's suffix
-    window is census-side."""
+    """§2.BF: the fact cost is ONE orders pass (the round-11
+    collect_set probe — no orders⋈firsts self-join); the actuarial
+    fold (bf2/bf3/bf4) runs as a single aggregate() higher-order
+    expression over the packed census — NO UnionLoop anywhere (the
+    round-10 recursion launched one Spark job per observed month;
+    round 11 removed the loop, OPTIMIZATION_r11.md §q_survival_km_curve).
+    The life table's suffix window is census-side."""
     phys1 = physical_plan(q("q_survival_life_table"))
     assert phys1.count("HashAggregate") >= 2, phys1
     assert "UnionLoop" not in phys1, phys1  # bf1 is recursion-free
+    assert "SortMergeJoin" not in phys1, phys1  # one-pass probe, no self-join
     phys2 = physical_plan(q("q_survival_km_curve"))
-    assert "UnionLoop" in phys2 or "Recursion" in phys2, phys2
+    assert "UnionLoop" not in phys2, phys2  # the fold replaced the loop
+    assert "aggregate(" in phys2, phys2  # the HOF fold is in the plan
     for key in ("q_survival_summary", "q_survival_by_segment"):
         phys = physical_plan(q(key))
+        assert "UnionLoop" not in phys, (key, phys)
         assert "CartesianProduct" not in phys, (key, phys)
 
 
