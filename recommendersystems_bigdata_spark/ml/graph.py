@@ -315,11 +315,14 @@ def star_components(
         .distinct()
     )
     # Every node ever seen (isolated-in-contraction roots still need rows).
+    # Plain lineage (round 11): nodes is consumed exactly ONCE (the
+    # roots anti-join after the loop) and derives from the CHECKPOINTED
+    # initial edge frame, so materializing it bought nothing — the old
+    # localCheckpoint here was one whole eager job per invocation.
     nodes = (
         e.select(F.col("big").alias("part"))
         .union(e.select(F.col("small").alias("part")))
         .distinct()
-        .localCheckpoint()
     )
     rounds = 0
     while True:
