@@ -209,20 +209,33 @@ def q_rec_path_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rec_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.Z z4 — recursive calendar spine: generate every month between
-    the first and last order via a 1-row-seed recursion, LEFT-join the
-    monthly order counts, and flag gap months — the "no silent missing
-    partitions" report a time-partitioned warehouse runs nightly (the
-    §2.Q gap-fill interpolates VALUES; this one audits the CALENDAR).
+    """§2.Z z4 — calendar spine: generate every month between the first
+    and last order, LEFT-join the monthly order counts, and flag gap
+    months — the "no silent missing partitions" report a
+    time-partitioned warehouse runs nightly (the §2.Q gap-fill
+    interpolates VALUES; this one audits the CALENDAR).
 
-    Scale: recursion depth is the calendar span in months — data-size
-    independent (a 1-row frontier per iteration); the only corpus-sized
-    work is the month-bucketed partial-aggregated groupBy plus ONE
-    min/max pass for the bounds. The bounds are materialized FIRST with
-    a 1-row localCheckpoint: an inline `bounds` CTE lands INSIDE the
-    UnionLoop's recursive term in Spark 4.1, re-scanning orders for
-    `hi` on every one of the ~|months| iterations — the exact 100 TB
-    plan this refuses (plan-asserted in tests/test_plans.py). The
+    Round 12 (guide §2.4 — remove per-iteration jobs outright): the
+    spine no longer recurses. The month walk `m → m + 1 MONTH while
+    m < hi` from a single seed is a strict arithmetic progression — the
+    recursion was incidental, not relational (no per-step join against
+    data) — so the engine folds it into ONE declarative
+    `explode(sequence(lo, hi, interval 1 month))` over the checkpointed
+    1-row bounds. The old UnionLoop spelling paid one Spark job PER
+    CALENDAR MONTH (~80 driver round-trips at the 1992–1998 span) to
+    produce ~80 rows; `sequence` emits the identical inclusive
+    month-start list (lo and hi are both month-truncated, so the last
+    step lands exactly on hi) in a single LocalTableScan-sized job. The
+    DuckDB oracle keeps its independent WITH RECURSIVE spelling, so the
+    hash match certifies fold ≡ recursion on the data. The genuinely
+    relational recursions — the z1/z2 hierarchy closure and the z3
+    anchored walk, where each step is a frontier join — stay on the
+    native recursive-CTE path (UnionLoop, plan-pinned).
+
+    Scale: the only corpus-sized work is the month-bucketed
+    partial-aggregated groupBy plus ONE min/max pass for the bounds,
+    materialized FIRST with a 1-row localCheckpoint (an inline bounds
+    subquery would re-scan orders under the generate). The
     spine⋈aggregate join is |months| vs |months| rows."""
     register_views(spark, sf_dir)
     bounds = spark.sql(
@@ -235,10 +248,9 @@ def q_rec_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds.createOrReplaceTempView("spine_bounds")
     return spark.sql(
         """
-        WITH RECURSIVE spine(m) AS (
-          SELECT lo FROM spine_bounds
-          UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM spine, spine_bounds WHERE m < hi
+        WITH spine AS (
+          SELECT explode(sequence(lo, hi, interval 1 month)) AS m
+          FROM spine_bounds
         ),
         per_month AS (
           SELECT date_trunc('MONTH', CAST(o_orderdate AS TIMESTAMP)) AS m,

@@ -1624,18 +1624,18 @@ def test_tsdiag_drawdown_topk_lowered(q):
     assert "TakeOrderedAndProject" in phys, phys
 
 
-def test_month_spine_bounds_outside_loop(q):
-    """§2.Z z4: the spine bounds must be checkpointed BEFORE the
-    recursion — an inline bounds CTE lands inside the UnionLoop's
-    recursive term in Spark 4.1 and re-scans orders for `hi` on every
-    iteration. The only allowed parquet scan is the per_month aggregate
-    branch (one logical scan; `parquet` appears once as the loop-free
-    Relation line and once in its FileScan detail)."""
+def test_month_spine_folded_no_unionloop(q):
+    """§2.Z z4 (round 12): the month spine is a strict arithmetic
+    progression from a 1-row seed, so it must fold into ONE
+    `explode(sequence(lo, hi, ...))` over the checkpointed bounds —
+    NO UnionLoop (the old spelling paid one Spark job per calendar
+    month, ~80 pure-overhead driver round-trips), and the bounds stay
+    materialized before the plan (no orders scan under the generate).
+    The only allowed parquet scan is the per_month aggregate branch."""
     phys = physical_plan(q("q_rec_month_spine"))
-    assert "UnionLoop" in phys, phys
-    loop = phys[phys.index("UnionLoop"):]
-    loop = loop[: loop.index("BroadcastExchange")]  # the recursion subtree
-    assert "parquet" not in loop, loop
+    assert "UnionLoop" not in phys, phys
+    assert "Generate explode(sequence(" in phys, phys
+    assert phys.count("Scan parquet") == 1, phys  # per_month only
 
 
 def test_lifecycle_bounded_after_checkpoint(q):
