@@ -43,6 +43,32 @@ _STREAM_SRC: dict[str, tuple[str, StructType]] = {}
 # any window and emits nothing.
 N_STREAM_CHUNKS = 4
 
+# Scale-adaptive state-partition count for the availableNow drains
+# (round 12, guide §2.2 — partitions ∝ bytes, never a constant tuned to
+# one machine). A stateful streaming operator claims ONE state store per
+# shuffle partition per micro-batch, and the default HDFS-backed provider
+# writes + fsyncs a delta file per store per batch, so the per-batch fixed
+# cost is linear in `spark.sql.shuffle.partitions` REGARDLESS of data —
+# measured at sf0.1 (scripts/stream_profile.py): state-store commit time
+# dominates addBatch while total state is 40–50k rows, and a default
+# 200-partition session pays 200 store commits × batches × (up to 4
+# stores for a stream-stream join) to manage kilobytes. The drain
+# therefore sizes state partitions from the bytes that will actually
+# stream through: total chunked-source bytes / 32 MB, floored at 8 —
+# growing without bound as the corpus grows (at 100 TB the derived count
+# exceeds any session default and the session value governs via the
+# min() in run_to_memory), env-overridable for deployments that know
+# their state cardinality. Partition COUNT is invisible to results:
+# rows hash to stores by key, and within-key arrival order (which
+# decides keep-first dedup) rides the per-batch single-file map order,
+# not the reducer count — pinned by the oracle/hash checks either way.
+STREAM_SHUFFLE_ENV = "SPARK_GRAFT_STREAM_SHUFFLE"
+_STREAM_STATE_BYTES_PER_PARTITION = 32 * 1024 * 1024
+# Set by read_events_stream to the partition count derived for the source
+# it just prepared; consumed by run_to_memory (drains are synchronous and
+# single-threaded, so "the last source prepared" is the one draining).
+_LAST_STREAM_PARTITIONS: list[int] = [0]
+
 
 def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
     """Materialize events as N ts-range-ordered parquet files for streaming.
@@ -113,6 +139,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twins.
     """
     src, schema = _chunked_events_dir(spark, sf_dir)
+    env = os.environ.get(STREAM_SHUFFLE_ENV)
+    if env:
+        _LAST_STREAM_PARTITIONS[0] = int(env)
+    else:
+        total_bytes = sum(
+            os.path.getsize(p) for p in _glob.glob(os.path.join(src, "part-*"))
+        )
+        _LAST_STREAM_PARTITIONS[0] = max(
+            8, -(-total_bytes // _STREAM_STATE_BYTES_PER_PARTITION)
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -122,19 +158,37 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Drain a stream into a memory sink with availableNow; return the result."""
+    """Drain a stream into a memory sink with availableNow; return the result.
+
+    State partitioning: `spark.sql.shuffle.partitions` is captured by a
+    streaming query at start and becomes its state-store partition count
+    for life, so the drain starts under min(session value, the
+    scale-derived count from read_events_stream) and restores the session
+    conf immediately after — never raising it above what the session
+    chose, only refusing to spread kilobytes of state over hundreds of
+    per-batch store commits (see STREAM_SHUFFLE_ENV note above)."""
+    spark = stream_df.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
     ckpt = scratch_dir("ckpt_" + name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    session_n = int(spark.conf.get(conf_key))
+    derived = _LAST_STREAM_PARTITIONS[0]
+    n = min(session_n, derived) if derived else session_n
+    if n != session_n:
+        spark.conf.set(conf_key, str(n))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if n != session_n:
+            spark.conf.set(conf_key, str(session_n))
     return spark.table(name)
 
 
