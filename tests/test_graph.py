@@ -10,6 +10,8 @@ oracle could mask.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from recommendersystems_bigdata_spark.ml.graph import pagerank_micros
@@ -92,6 +94,7 @@ edge_lists = st.lists(
 ).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
 
 
+@pytest.mark.slow
 @settings(
     max_examples=_EXAMPLES or 12,
     deadline=None,
@@ -136,6 +139,7 @@ def test_star_components_log_rounds_on_path_graph(spark):
     assert stats["rounds"] <= math.ceil(math.log2(63)) + 4, stats
 
 
+@pytest.mark.slow
 def test_star_components_match_min_label_on_random_graphs(spark):
     """The two kernels define the same labeling (component min), so they
     must agree exactly on random graphs — this is the equivalence that
@@ -196,6 +200,7 @@ def _python_components(edges):
     return {v: find(v) for v in parent}
 
 
+@pytest.mark.slow
 @settings(
     max_examples=_EXAMPLES or 10,
     deadline=None,

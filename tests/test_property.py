@@ -12,6 +12,10 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# Deselected by default (pytest.ini): the committed deep-fuzz sweeps run
+# these groups at 300 fresh-seed examples out-of-band; `-m ""` re-enables.
+pytestmark = pytest.mark.slow
+
 import os
 
 # Deep-fuzz switch: the committed runs are deterministic (derandomize) so

@@ -218,6 +218,7 @@ def test_stream_session_window_subset_of_batch(spark, sf_dir):
     assert len(streamed) >= 0.5 * len(batch), (len(streamed), len(batch))
 
 
+@pytest.mark.slow  # harness property (chunk-boundary independence), re-streams 16x
 def test_watermark_tumble_invariant_to_chunk_count(spark, sf_dir):
     """The emitted window set must be a property of the WATERMARK, not of
     how the arrival sequence happens to be chunked: re-running the
@@ -305,6 +306,7 @@ def test_chunk_composition_is_pure_function_of_data(spark, sf_dir):
 import pytest as _pytest
 
 
+@_pytest.mark.slow  # harness property, re-streams every key at 16 chunks
 @_pytest.mark.parametrize(
     "key",
     [

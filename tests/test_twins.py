@@ -91,6 +91,8 @@ def test_sql_spelling_matches_dataframe(spark, sf_dir, key):
     assert res.ok, f"DataFrame vs spark.sql spelling diverge: {res.message()}"
 
 
+@pytest.mark.slow  # one-session double-run; the committed VERIFY double
+# sweeps check the stronger two-JVM determinism for all keys every round
 @pytest.mark.parametrize("key", sorted(registry.QUERIES))
 def test_determinism_two_runs(spark, sf_dir, key):
     if key in NONDETERMINISTIC_BY_DESIGN:
