@@ -301,22 +301,98 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-internal hash coefficients make cross-engine hashing moot).
 
     shingle → binary token vector (CountVectorizer) → MinHash signatures →
-    banded bucket join (approxSimilarityJoin). The O(n·bands) candidate
-    generation is what replaces k13's O(n²)-per-block exact join at scale.
+    banded bucket join → exact Jaccard on the deduped candidates. The
+    O(n·bands) candidate generation is what replaces k13's O(n²)-per-block
+    exact join at scale. Results are EXACTLY MinHashLSH's
+    ``approxSimilarityJoin(feats, feats, 0.5)`` output (bit-identical
+    hash vs the round-start tree at sf0.001/sf0.01/sf0.1) — the MODEL is
+    unchanged (same fit, same seeded hash coefficients, same bucket
+    membership via ``model.transform``); only the join AROUND it is the
+    engine's own lowering.
+
+    Round 12 (guide §8 — shuffle keys, not payloads): this key was the
+    r11 verdict's sole perf-weak mark, 962 s at sf0.1.
+    ``approxSimilarityJoin`` explodes each side by its hash tables, joins
+    on bucket equality, and runs ``.distinct()`` over the joined rows
+    carrying EVERY column of BOTH sides — on this corpus's degenerate
+    boilerplate bucket (~3,890 docs) that distinct shuffled two full
+    document texts + token arrays + feature and hash vectors for each of
+    ~9.2 M candidate pairs, then evaluated the model's per-pair distance
+    UDF. The lowering reproduces its exact semantics with the payload
+    stripped out:
+
+    - candidates: posexplode the model's 5 hash-table values (pulled out
+      of their 1-long vectors with the JVM ``vector_to_array``, no Python
+      boundary), equi-join on (table index, hash value), keep
+      ``doc_a < doc_b``, DISTINCT over the bare (int, int) id pair — the
+      distinct the model ran over ~KB-wide rows now runs over 16 bytes;
+    - verify: ``keyDistance`` for MinHash is Jaccard distance over the
+      sets of non-zero feature indices, so each doc carries its token-id
+      array (``filter(transform(vector_to_array(features)))`` — exact,
+      derived from the very vectors the model hashes, no tokenizer
+      re-derivation) and the distance is
+      ``1.0 − |A∩B| / (|A|+|B|−|A∩B|)`` in codegen, with the model's
+      strict ``dist < 0.5`` admission.
+
+    Scale note: the dense ``vector_to_array(features)`` pass is
+    |vocab|-wide per doc — free here (this corpus: 31 tokens) and fine
+    up to CountVectorizer's default 2¹⁸ cap only for modest vocabularies;
+    a 100 TB corpus keeps token-id sets as a stored column next to the
+    signatures (the same storage-layout call band_candidates documents)
+    or extracts SparseVector indices with one mapInArrow pass. The
+    candidate-side design — bucket join on (band, hash), id-only
+    distinct, verify fan-out bounded by candidates — is the scale path
+    regardless.
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+    from pyspark.ml.functions import vector_to_array
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
     cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True).fit(tokens)
-    feats = cv.transform(tokens)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(feats)
-    pairs = mh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    feats = cv.transform(tokens).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(
+        feats
+    )
+    n_tables = 5
+    hashed = mh.transform(feats).select(
+        "doc_id",
+        F.array(
+            *[vector_to_array(F.col("hashes")[i])[0] for i in range(n_tables)]
+        ).alias("hs"),
+        F.filter(
+            F.transform(
+                vector_to_array("features"),
+                lambda v, i: F.when(v != 0.0, i).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        ).alias("tids"),
+    ).localCheckpoint()  # signatures + token-id sets: one model pass, two consumers
+    ex = hashed.select("doc_id", F.posexplode("hs").alias("band", "h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = hashed.select(F.col("doc_id").alias("doc_a"), F.col("tids").alias("tids_a"))
+    tb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("tids").alias("tids_b"))
+    inter = F.size(F.array_intersect("tids_a", "tids_b")).cast("double")
+    union = F.size("tids_a") + F.size("tids_b") - inter
+    dist = F.lit(1.0) - inter / union
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard_dist", dist)
+        .filter(F.col("jaccard_dist") < 0.5)
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_est"),
         )
     )
